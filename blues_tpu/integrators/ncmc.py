@@ -1,0 +1,157 @@
+"""The NCMC switching protocol as a single jit-scanned pure function.
+
+This replaces the reference's `AlchemicalExternalLangevinIntegrator`
+CustomIntegrator program (reference: blues/integrators.py:159-231) plus the
+Python-level step loop that drives it one step at a time
+(blues/simulation.py:1039-1098). The whole protocol — lambda switching,
+BAOAB propagation, protocol-work accumulation, the midpoint move, and the
+external-work capture around it — is one traced computation: two `lax.scan`s
+split at the move micro-step, with no host round-trips.
+
+Work accounting (exactly the reference semantics, telescoped):
+the reference accumulates, per integrator step,
+  H substeps:   W += E(x, lam_new) - E(x, lam_old)      (integrators.py:211-231)
+  top-of-step:  W += E_perturbed - E_unperturbed        (integrators.py:183-191)
+Because every such term is an energy difference at a *fixed* position, the
+sum telescopes: only positions changes (the midpoint move) and lambda
+changes contribute. Each micro-step therefore needs exactly two fused
+energy+force evaluations (the two V kicks), with the energy of the second
+cached as next step's baseline — fewer evaluations than the reference's own
+integrator program performs.
+
+Accumulation uses Kahan compensation in f32 (TPU-native) so a 10k-step
+protocol keeps work error << kT (SURVEY.md 7.3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import units
+from ..core.state import KahanAccumulator
+from .langevin import LangevinParams, make_baoab_machinery
+from .schedules import NCMCSchedule
+
+#: Work value used by moves to force rejection (reference: blues/moves.py:1079-1082)
+VETO_WORK = 999999.0
+
+
+class NCMCResult(NamedTuple):
+    positions: jax.Array
+    velocities: jax.Array
+    rng_key: jax.Array
+    protocol_work: jax.Array  # kJ/mol
+    log_accept: jax.Array  # -(work)/kT, before alchemical correction
+    e_initial: jax.Array  # alchemical-potential energy at protocol start
+    e_final: jax.Array  # alchemical-potential energy at protocol end
+    move_aux: object  # pytree returned by the move (diagnostics)
+
+
+def _stack_schedule(schedule: NCMCSchedule, lo: int, hi: int, dtype):
+    return {
+        k: jnp.asarray(v[lo:hi], dtype) for k, v in schedule.globals_per_step.items()
+    }
+
+
+def make_ncmc_protocol(
+    energy_fn: Callable,
+    force_fn: Callable,
+    masses,
+    params: LangevinParams,
+    constrain_x,
+    constrain_v,
+    schedule: NCMCSchedule,
+    move=None,
+    dtype=jnp.float32,
+):
+    """Build protocol_fn(x, v, box, key) -> NCMCResult.
+
+    energy_fn(x, box, globals) -> E; force_fn -> (E, F). ``move`` follows the
+    moves.base.Move protocol (before / propose / after); None = no move.
+    """
+    m = make_baoab_machinery(masses, params, constrain_x, constrain_v)
+    h = params.dt / 2.0
+    kT = units.kT(params.temperature)
+    mm = schedule.move_micro
+    g_initial = {k: jnp.asarray(v, dtype) for k, v in schedule.globals_initial.items()}
+    g_pre = {k: jnp.asarray(v, dtype) for k, v in schedule.globals_pre_move.items()}
+    g_final = {k: jnp.asarray(v, dtype) for k, v in schedule.globals_final.items()}
+
+    def micro_step(carry, g):
+        x, v, key, work, e_cache, box = carry
+        key, okey = jax.random.split(key)
+        e1, f1 = force_fn(x, box, g)
+        work = work.add(e1 - e_cache)
+        v = m["kick"](v, f1, h, x)
+        x, v = m["drift"](x, v, h)
+        v = m["ou"](v, okey, x)
+        x, v = m["drift"](x, v, h)
+        e2, f2 = force_fn(x, box, g)
+        v = m["kick"](v, f2, h, x)
+        return (x, v, key, work, e2, box), None
+
+    def protocol_fn(x, v, box, key):
+        x = constrain_x(x, x)
+        v = constrain_v(v, x)
+
+        key, bkey = jax.random.split(key)
+        if move is not None:
+            x, v, aux = move.before(bkey, x, v, box)
+        else:
+            aux = None
+
+        e0 = energy_fn(x, box, g_initial)
+        work = KahanAccumulator.zeros(dtype)
+        carry = (x, v, key, work, e0, box)
+
+        xs1 = _stack_schedule(schedule, 0, mm, dtype)
+        if mm > 0:
+            carry, _ = jax.lax.scan(micro_step, carry, xs1)
+        x, v, key, work, e_cache, box = carry
+
+        # --- midpoint move with external-work capture -----------------------
+        # (reference: move applied between integrator steps, its work counted
+        # via perturbed_pe - unperturbed_pe at the top of the next step,
+        # blues/simulation.py:1074-1079 + blues/integrators.py:183-191)
+        if move is not None:
+            e_b = energy_fn(x, box, g_pre)
+            work = work.add(e_b - e_cache)  # lambda transition at fixed x
+            key, mkey = jax.random.split(key)
+            x_new, aux = move.propose(mkey, x, box, aux)
+            e_b2 = energy_fn(x_new, box, g_pre)
+            work = work.add(e_b2 - e_b)  # external (move) work
+            x = x_new
+            e_cache = e_b2
+
+        xs2 = _stack_schedule(schedule, mm, schedule.n_micro, dtype)
+        if schedule.n_micro - mm > 0:
+            carry = (x, v, key, work, e_cache, box)
+            carry, _ = jax.lax.scan(micro_step, carry, xs2)
+            x, v, key, work, e_cache, box = carry
+
+        # closing lambda transition to master lambda = 1
+        e_final = energy_fn(x, box, g_final)
+        work = work.add(e_final - e_cache)
+
+        protocol_work = work.value
+        if move is not None:
+            key, akey = jax.random.split(key)
+            veto = move.after(akey, x, box, aux)
+            protocol_work = protocol_work + jnp.where(veto, VETO_WORK, 0.0)
+
+        return NCMCResult(
+            positions=x,
+            velocities=v,
+            rng_key=key,
+            protocol_work=protocol_work,
+            log_accept=-protocol_work / kT,
+            e_initial=e0,
+            e_final=e_final,
+            move_aux=aux,
+        )
+
+    return protocol_fn

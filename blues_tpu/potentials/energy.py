@@ -1,0 +1,89 @@
+"""Compose a System into a single differentiable energy function.
+
+This is the keystone design decision of the rebuild (SURVEY.md section 7.1):
+one `energy_fn(positions, box, globals) -> E` per system, with forces from
+`jax.value_and_grad`. It subsumes the reference's three separate OpenMM
+Contexts (md / alch / ncmc, reference: blues/simulation.py:788-809): the
+"alchemical system" is the same function evaluated with lambda globals != 1,
+and the alchemical-correction energies (blues/simulation.py:1100-1119) are
+just extra evaluations.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.system import System
+from . import bonded
+from .custom_pair import make_custom_pair_energy
+from .nonbonded import NO_CUTOFF, make_nonbonded_energy
+
+
+def make_energy_fn(
+    system: System,
+    *,
+    nonbonded_method: str = NO_CUTOFF,
+    cutoff: float = 1.0,
+    alchemical_pme_treatment: str = "direct-space",
+    ewald_tolerance: float = 5e-4,
+    rf_dielectric: float = 78.3,
+    use_pallas: Optional[bool] = None,
+) -> Callable:
+    """Build energy_fn(positions, box=None, globals_=None) -> scalar kJ/mol."""
+    terms = []
+
+    if len(system.bonds):
+        terms.append(lambda x, box, g: bonded.bond_energy(x, system.bonds, box))
+    if len(system.angles):
+        terms.append(lambda x, box, g: bonded.angle_energy(x, system.angles, box))
+    if len(system.torsions):
+        terms.append(lambda x, box, g: bonded.torsion_energy(x, system.torsions, box))
+    if system.position_restraints is not None:
+        terms.append(
+            lambda x, box, g: bonded.position_restraint_energy(
+                x, system.position_restraints, box
+            )
+        )
+    for rest in system.centroid_restraints:
+        terms.append(
+            lambda x, box, g, _r=rest: bonded.centroid_restraint_energy(x, _r, box)
+        )
+    for cp in system.custom_pairs:
+        fn = make_custom_pair_energy(cp)
+        terms.append(lambda x, box, g, _f=fn: _f(x, box, g))
+    if system.nonbonded is not None:
+        nb_fn = make_nonbonded_energy(
+            system.nonbonded,
+            method=nonbonded_method,
+            cutoff=cutoff,
+            alchemical=system.alchemical,
+            alchemical_pme_treatment=alchemical_pme_treatment,
+            ewald_tolerance=ewald_tolerance,
+            rf_dielectric=rf_dielectric,
+            box_for_pme=system.box,
+            use_pallas=bool(use_pallas),
+        )
+        terms.append(lambda x, box, g: nb_fn(x, box, g))
+
+    def energy_fn(positions, box=None, globals_=None):
+        e = jnp.zeros((), positions.dtype)
+        for t in terms:
+            e = e + t(positions, box, globals_)
+        return e
+
+    return energy_fn
+
+
+def make_force_fn(energy_fn: Callable) -> Callable:
+    """fn(x, box, globals) -> (E, F) with F = -dE/dx."""
+
+    grad_fn = jax.value_and_grad(energy_fn)
+
+    def force_fn(positions, box=None, globals_=None):
+        e, g = grad_fn(positions, box, globals_)
+        return e, -g
+
+    return force_fn

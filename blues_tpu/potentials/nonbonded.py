@@ -1,0 +1,329 @@
+"""Nonbonded LJ + electrostatics with alchemical softcore semantics.
+
+TPU-native replacement for OpenMM's NonbondedForce plus the openmmtools
+alchemical Custom*Force machinery the reference builds in
+`SystemFactory.generateAlchSystem` (reference: blues/simulation.py:221-317).
+Instead of rewriting force *objects*, a single energy function is
+parameterized by (lambda_sterics, lambda_electrostatics) globals; at
+lambda=1 full strength is recovered. Forces come from `jax.value_and_grad`
+of this function, so the MD / alchemical "systems" are the same code path.
+
+Softcore functional form (Pham & Shirts Eq. 13 via openmmtools, with the
+reference's defaults alpha=0.5, a=b=1, c=6, beta=0, annihilate
+electrostatics / decouple sterics — blues/simulation.py:225-237):
+
+    reff^6   = alpha * (1 - lam_s)^b * sigma^6 + r^6
+    x        = sigma^6 / reff^6
+    U_steric = 4 * eps * lam_s^a * (x^2 - x)
+    U_elec   = lam_e * ONE_4PI_EPS0 * qi*qj * kernel(r)   (beta = 0)
+
+Pair classes: non-alchemical pairs use plain LJ/Coulomb; NA pairs
+(one alchemical atom) are always lambda-scaled; AA pairs follow the
+annihilate flags (annihilated => scaled, decoupled => full strength).
+
+Two PME treatments are provided (`alchemical_pme_treatment`):
+  * 'direct-space' (reference default): alchemical charges are removed from
+    the reciprocal/self sums and their interactions modeled direct-space
+    only, lambda-scaled. U(lam=1) differs from the plain potential, which is
+    why the driver applies the alchemical correction factor
+    (blues/simulation.py:1100-1119).
+  * 'exact': alchemical charges are scaled by lambda_electrostatics
+    *everywhere* (including reciprocal space). U(lam=1) == U_md exactly and
+    the correction term vanishes. Cheap here because PME is recomputed
+    every step anyway - a TPU-native win unavailable to the reference.
+
+This module holds the dense O(N^2) jnp path (used for small/medium systems
+and as the reference implementation for kernel tests); the tiled Pallas
+kernel in `pallas/pair_kernel.py` computes identical math without
+materializing N x N intermediates.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import units
+from ..core.system import AlchemicalRegion, NonbondedParams
+from .geometry import distance, periodic_displacement
+
+NO_CUTOFF = "NoCutoff"
+CUTOFF_PERIODIC = "CutoffPeriodic"
+CUTOFF_NONPERIODIC = "CutoffNonPeriodic"
+PME = "PME"
+
+
+@dataclass(frozen=True)
+class PMEParams:
+    alpha: float  # 1/nm Ewald splitting parameter
+    grid: tuple  # (Kx, Ky, Kz)
+    order: int = 5  # B-spline interpolation order (OpenMM uses 5)
+
+
+def ewald_alpha(cutoff: float, tolerance: float = 5e-4) -> float:
+    """OpenMM's alpha choice: erfc(alpha*rc)/rc ~ tol
+    => alpha = sqrt(-log(2 tol))/rc (blues ewaldErrorTolerance default
+    5e-4, reference: blues/simulation.py:195-197)."""
+    return math.sqrt(-math.log(2.0 * tolerance)) / cutoff
+
+
+def _good_fft_size(n: int) -> int:
+    """Smallest size >= n whose factors are 2/3/5 (fast XLA FFT)."""
+    while True:
+        m = n
+        for p in (2, 3, 5):
+            while m % p == 0:
+                m //= p
+        if m == 1:
+            return n
+        n += 1
+
+
+def choose_pme_params(box_lengths, cutoff: float, tolerance: float = 5e-4, order: int = 5) -> PMEParams:
+    alpha = ewald_alpha(cutoff, tolerance)
+    grid = tuple(
+        _good_fft_size(int(math.ceil(2.0 * alpha * L / (3.0 * tolerance ** 0.2))))
+        for L in np.asarray(box_lengths, dtype=np.float64)
+    )
+    return PMEParams(alpha=alpha, grid=grid, order=order)
+
+
+# --- per-pair math (shared by the dense path and the Pallas kernel) ---------
+
+
+def lj_energy_pair(r2, sigma, epsilon):
+    """Plain 12-6 LJ from squared distance (no sqrt needed)."""
+    s2 = sigma * sigma / r2
+    s6 = s2 * s2 * s2
+    return 4.0 * epsilon * (s6 * s6 - s6)
+
+
+def softcore_lj_energy_pair(r2, sigma, epsilon, lam_s, alpha=0.5, a=1.0, b=1.0):
+    """Softcore 12-6 LJ (softcore_c = 6 fast path)."""
+    s2 = sigma * sigma
+    s6 = s2 * s2 * s2
+    r6 = r2 * r2 * r2
+    reff6 = alpha * (1.0 - lam_s) ** b * s6 + r6
+    x = s6 / reff6
+    return 4.0 * epsilon * lam_s**a * (x * x - x)
+
+
+def coulomb_kernel(r, method: str, cutoff: float, alpha: float, k_rf: float, c_rf: float):
+    """The scalar electrostatic kernel f(r) with U = k_e qi qj f(r)."""
+    if method == PME:
+        return jax.lax.erfc(alpha * r) / r
+    if method in (CUTOFF_PERIODIC, CUTOFF_NONPERIODIC):
+        return 1.0 / r + k_rf * r * r - c_rf
+    return 1.0 / r
+
+
+def reaction_field_constants(cutoff: float, dielectric: float = 78.3):
+    """OpenMM CutoffPeriodic reaction-field constants."""
+    k_rf = (1.0 / cutoff**3) * (dielectric - 1.0) / (2.0 * dielectric + 1.0)
+    c_rf = (1.0 / cutoff) * (3.0 * dielectric) / (2.0 * dielectric + 1.0)
+    return k_rf, c_rf
+
+
+# --- dense energy function ----------------------------------------------------
+
+
+def make_nonbonded_energy(
+    nb: NonbondedParams,
+    *,
+    method: str = NO_CUTOFF,
+    cutoff: float = 1.0,
+    alchemical: Optional[AlchemicalRegion] = None,
+    alchemical_pme_treatment: str = "direct-space",
+    ewald_tolerance: float = 5e-4,
+    rf_dielectric: float = 78.3,
+    pme_params: Optional[PMEParams] = None,
+    box_for_pme=None,
+    use_pallas: bool = False,
+):
+    """Build fn(positions, box, globals) -> energy for the full nonbonded term.
+
+    globals keys: 'lambda_sterics', 'lambda_electrostatics' (default 1.0).
+    """
+    n = nb.charge.shape[0]
+    charges = np.asarray(nb.charge, np.float64)
+    sigmas = np.asarray(nb.sigma, np.float64)
+    epsilons = np.asarray(nb.epsilon, np.float64)
+
+    is_alch = np.zeros(n, bool)
+    sc = alchemical if alchemical is not None else AlchemicalRegion(atoms=np.zeros(0, np.int32))
+    if alchemical is not None and len(alchemical.atoms):
+        is_alch[np.asarray(alchemical.atoms, np.int64)] = True
+
+    if method == PME:
+        if pme_params is None:
+            if box_for_pme is None:
+                raise ValueError("PME requires pme_params or box_for_pme")
+            pme_params = choose_pme_params(np.diag(np.asarray(box_for_pme)), cutoff, ewald_tolerance)
+        alpha = pme_params.alpha
+    else:
+        alpha = 0.0
+    if method in (CUTOFF_PERIODIC, CUTOFF_NONPERIODIC):
+        k_rf, c_rf = reaction_field_constants(cutoff, rf_dielectric)
+    else:
+        k_rf, c_rf = 0.0, 0.0
+
+    # Effective charges for the "standard" path (recip/self/standard direct).
+    exact = alchemical_pme_treatment == "exact"
+    # direct-space treatment: alchemical charges removed from standard path.
+    q_std = np.where(is_alch, 0.0, charges) if (alchemical is not None and not exact) else charges
+
+    excl = np.asarray(nb.exclusions, np.int64).reshape(-1, 2)
+    exc_idx = np.asarray(nb.exceptions_idx, np.int64).reshape(-1, 2)
+
+    ke = units.ONE_4PI_EPS0
+    periodic = method in (PME, CUTOFF_PERIODIC)
+
+    # Pair-class masks (dense path).
+    iu, ju = np.triu_indices(n, k=1)
+    pair_alch_i = is_alch[iu]
+    pair_alch_j = is_alch[ju]
+    na_mask_np = pair_alch_i ^ pair_alch_j
+    aa_mask_np = pair_alch_i & pair_alch_j
+    excl_mask_np = np.zeros(len(iu), bool)
+    if len(excl):
+        excl_set = {(min(a, b), max(a, b)) for a, b in excl}
+        # vectorized membership via structured lookup
+        key = iu.astype(np.int64) * n + ju
+        excl_keys = np.array(sorted(a * n + b for a, b in excl_set), dtype=np.int64)
+        excl_mask_np = np.isin(key, excl_keys)
+
+    # Which pairs get lambda-scaled sterics / electrostatics.
+    scale_ster_np = na_mask_np | (aa_mask_np & sc.annihilate_sterics)
+    scale_elec_np = na_mask_np | (aa_mask_np & sc.annihilate_electrostatics)
+    any_alch_pair_np = na_mask_np | aa_mask_np
+
+    # Combination rules (Lorentz-Berthelot), precomputed per pair.
+    sig_pair = 0.5 * (sigmas[iu] + sigmas[ju])
+    eps_pair = np.sqrt(epsilons[iu] * epsilons[ju])
+    qq_std = q_std[iu] * q_std[ju]
+    qq_raw = charges[iu] * charges[ju]
+
+    include = ~excl_mask_np
+    softcore_alpha, softcore_a, softcore_b = sc.softcore_alpha, sc.softcore_a, sc.softcore_b
+
+    if method == PME:
+        from .pme import make_pme_reciprocal
+
+        recip_fn = make_pme_reciprocal(pme_params)
+    else:
+        recip_fn = None
+
+    def energy(positions, box=None, globals_=None):
+        dtype = positions.dtype
+        g = globals_ or {}
+        lam_s = jnp.asarray(g.get("lambda_sterics", 1.0), dtype)
+        lam_e = jnp.asarray(g.get("lambda_electrostatics", 1.0), dtype)
+
+        xi = positions[iu]
+        xj = positions[ju]
+        dr = xi - xj
+        if periodic and box is not None:
+            dr = periodic_displacement(dr, box)
+        r2 = jnp.maximum(jnp.sum(dr * dr, -1), 1e-12)
+        r = jnp.sqrt(r2)
+        in_cut = (
+            r < cutoff
+            if method in (PME, CUTOFF_PERIODIC, CUTOFF_NONPERIODIC)
+            else jnp.ones_like(r, bool)
+        )
+        use = jnp.asarray(include) & in_cut
+
+        sig = jnp.asarray(sig_pair, dtype)
+        eps = jnp.asarray(eps_pair, dtype)
+        scale_s = jnp.asarray(scale_ster_np)
+        # sterics: plain LJ where not scaled, softcore where scaled
+        e_lj_plain = lj_energy_pair(r2, sig, eps)
+        e_lj_soft = softcore_lj_energy_pair(
+            r2, sig, eps, lam_s, softcore_alpha, softcore_a, softcore_b
+        )
+        e_lj = jnp.where(scale_s, e_lj_soft, e_lj_plain)
+
+        # electrostatics: standard path with q_std
+        fr = coulomb_kernel(r, method, cutoff, alpha, k_rf, c_rf)
+        e_el = ke * jnp.asarray(qq_std, dtype) * fr
+        if alchemical is not None and not exact:
+            # direct-space lambda-scaled term for alchemical pairs (raw q)
+            scale_e = jnp.asarray(scale_elec_np)
+            alch_pair = jnp.asarray(any_alch_pair_np)
+            if method == PME:
+                f_alch = jax.lax.erfc(alpha * r) / r
+            else:
+                f_alch = fr
+            e_alch = ke * jnp.asarray(qq_raw, dtype) * f_alch
+            e_alch = jnp.where(scale_e, lam_e * e_alch, e_alch)
+            e_el = jnp.where(alch_pair, e_alch, e_el)
+        elif alchemical is not None and exact:
+            # scale charges by lambda on alchemical atoms: NA pairs ~ lam,
+            # AA pairs ~ lam^2 (when annihilating)
+            scale_e = jnp.asarray(scale_elec_np)
+            aa = jnp.asarray(aa_mask_np)
+            factor = jnp.where(scale_e, jnp.where(aa, lam_e * lam_e, lam_e), 1.0)
+            e_el = ke * jnp.asarray(qq_raw, dtype) * fr * factor
+
+        e_pair = jnp.sum(jnp.where(use, e_lj + e_el, 0.0))
+
+        # exceptions (1-4 pairs): computed with their own parameters,
+        # bare-Coulomb kernel (OpenMM convention), lambda rules as above
+        e_exc = jnp.zeros((), dtype)
+        if len(exc_idx):
+            dre = positions[exc_idx[:, 0]] - positions[exc_idx[:, 1]]
+            if periodic and box is not None:
+                dre = periodic_displacement(dre, box)
+            re2 = jnp.maximum(jnp.sum(dre * dre, -1), 1e-12)
+            re = jnp.sqrt(re2)
+            ai = is_alch[exc_idx[:, 0]]
+            aj = is_alch[exc_idx[:, 1]]
+            na_e = ai ^ aj
+            aa_e = ai & aj
+            s_ster = jnp.asarray(na_e | (aa_e & sc.annihilate_sterics))
+            s_elec = jnp.asarray(na_e | (aa_e & sc.annihilate_electrostatics))
+            sig_e = jnp.asarray(nb.exceptions_sigma, dtype)
+            eps_e = jnp.asarray(nb.exceptions_epsilon, dtype)
+            qq_e = jnp.asarray(nb.exceptions_chargeprod, dtype)
+            lj_e = jnp.where(
+                s_ster,
+                softcore_lj_energy_pair(re2, sig_e, eps_e, lam_s, softcore_alpha, softcore_a, softcore_b),
+                lj_energy_pair(re2, sig_e, eps_e),
+            )
+            el_e = ke * qq_e / re
+            el_e = jnp.where(s_elec, lam_e * el_e, el_e)
+            e_exc = jnp.sum(lj_e + el_e)
+
+        e_total = e_pair + e_exc
+
+        if method == PME:
+            if exact and alchemical is not None:
+                lamq = jnp.where(jnp.asarray(is_alch), lam_e, 1.0)
+                q_eff = jnp.asarray(charges, dtype) * lamq
+            else:
+                q_eff = jnp.asarray(q_std, dtype)
+            # reciprocal space
+            e_total = e_total + recip_fn(positions, q_eff, box)
+            # self energy
+            e_total = e_total - ke * alpha / math.sqrt(math.pi) * jnp.sum(q_eff * q_eff)
+            # neutralizing plasma for net charge
+            vol = box[0, 0] * box[1, 1] * box[2, 2]
+            qtot = jnp.sum(q_eff)
+            e_total = e_total - ke * math.pi / (2.0 * alpha * alpha) * qtot * qtot / vol
+            # exclusion corrections: remove reciprocal-space interaction of
+            # excluded pairs (includes exception pairs)
+            if len(excl):
+                drx = positions[excl[:, 0]] - positions[excl[:, 1]]
+                drx = periodic_displacement(drx, box)
+                rx = distance(drx)
+                qq_x = q_eff[excl[:, 0]] * q_eff[excl[:, 1]]
+                e_total = e_total - jnp.sum(ke * qq_x * jax.lax.erf(alpha * rx) / rx)
+        return e_total
+
+    energy.pme_params = pme_params
+    return energy

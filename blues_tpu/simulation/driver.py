@@ -1,0 +1,287 @@
+"""The hybrid MD <-> NCMC <-> Metropolis driver.
+
+TPU-native equivalent of the reference BLUESSimulation
+(reference: blues/simulation.py:812-1257). Where the reference crosses the
+Python/device boundary >= 2*nstepsNC + nstepsMD times per iteration
+(SURVEY.md 3.2), here one *entire iteration* — state sync, the NCMC
+switching scan with the midpoint move, the alchemical correction, the
+Metropolis accept/reject, velocity resampling, and the MD relaxation scan —
+is a single jitted function, optionally vmapped over independent replicas.
+
+Acceptance criterion (reference blues/simulation.py:1121-1166 +
+blues/integrators.py:233-238):
+
+    log_accept = -(protocol_work)/kT + correction      > log U(0,1)
+    correction = -[(E_alchpot(x0) - E_mdpot(x0))
+                   + (E_mdpot(x1) - E_alchpot(x1))]/kT
+
+The correction accounts for the alchemical potential at full lambda
+differing from the MD potential (direct-space PME treatment); with the
+'exact' treatment it is identically zero. NaN work or correction forces
+rejection (reference blues/simulation.py:1134).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import units
+from ..core.state import SimState, maxwell_boltzmann_velocities, pytree_dataclass
+from ..core.system import System
+from ..integrators.constraints import make_constraint_fns
+from ..integrators.langevin import LangevinParams, make_md_step
+from ..integrators.ncmc import make_ncmc_protocol
+from ..integrators.schedules import build_ncmc_schedule, calculate_ncmc_steps
+from ..potentials.energy import make_energy_fn, make_force_fn
+
+logger = logging.getLogger("blues_tpu.simulation")
+
+
+@dataclass
+class SimulationConfig:
+    nIter: int = 100
+    nstepsNC: int = 100
+    nstepsMD: int = 100
+    temperature: float = 300.0  # K
+    dt: float = 0.002  # ps
+    friction: float = 1.0  # 1/ps
+    nprop: int = 1
+    propLambda: float = 0.3
+    moveStep: Optional[int] = None  # default nstepsNC // 2
+    splitting: str = "H V R O R V H"
+    alchemical_functions: Optional[dict] = None
+    nonbonded_method: str = "NoCutoff"
+    cutoff: float = 1.0  # nm
+    alchemical_pme_treatment: str = "direct-space"
+    md_report_interval: Optional[int] = None  # collect MD frames every k steps
+    n_replicas: int = 1
+    constraint_tolerance: float = 1e-6
+    use_pallas: Optional[bool] = None
+
+
+@pytree_dataclass
+class IterationStats:
+    accepted: jax.Array
+    protocol_work: jax.Array  # kJ/mol
+    correction: jax.Array  # dimensionless (units of kT)
+    log_accept: jax.Array
+    md_potential: jax.Array  # kJ/mol at iteration end
+    ncmc_potential: jax.Array  # alchemical potential at protocol end
+
+
+class BLUESSimulation:
+    """Drives nIter iterations of [NCMC protocol -> accept/reject -> MD]."""
+
+    def __init__(self, system: System, move, config: SimulationConfig):
+        self.system = system
+        self.move = move
+        self.cfg = config
+
+        ncmc_params = calculate_ncmc_steps(
+            config.nstepsNC, config.nprop, config.propLambda
+        )
+        self.nstepsNC = ncmc_params["nstepsNC"]
+        self.propSteps = ncmc_params["propSteps"]
+        self.moveStep = (
+            config.moveStep if config.moveStep is not None else ncmc_params["moveStep"]
+        )
+
+        # energy functions: the MD potential ignores the alchemical region;
+        # the NCMC potential is lambda-parameterized
+        md_system = system.replace(alchemical=None)
+        common = dict(
+            nonbonded_method=config.nonbonded_method,
+            cutoff=config.cutoff,
+            use_pallas=config.use_pallas,
+        )
+        self.energy_md = make_energy_fn(md_system, **common)
+        if system.alchemical is not None or system.custom_pairs:
+            self.energy_alch = make_energy_fn(
+                system,
+                alchemical_pme_treatment=config.alchemical_pme_treatment,
+                **common,
+            )
+        else:
+            self.energy_alch = self.energy_md
+        self.force_md = make_force_fn(self.energy_md)
+        self.force_alch = make_force_fn(self.energy_alch)
+
+        constrain_x, constrain_v = make_constraint_fns(
+            system.constraints, system.masses, tol=config.constraint_tolerance
+        )
+        self._constrain = (constrain_x, constrain_v)
+
+        self.schedule = build_ncmc_schedule(
+            self.nstepsNC,
+            alchemical_functions=config.alchemical_functions,
+            splitting=config.splitting,
+            nprop=config.nprop,
+            prop_lambda=config.propLambda,
+            move_step=self.moveStep,
+        )
+        lp = LangevinParams(config.dt, config.friction, config.temperature)
+        self.langevin_params = lp
+        self.protocol_fn = make_ncmc_protocol(
+            self.energy_alch,
+            self.force_alch,
+            system.masses,
+            lp,
+            constrain_x,
+            constrain_v,
+            self.schedule,
+            move=move,
+        )
+        self._md_step = make_md_step(
+            self.force_md, system.masses, lp, constrain_x, constrain_v
+        )
+
+        self._kT = units.kT(config.temperature)
+        self._iteration = self._build_iteration()
+        if config.n_replicas > 1:
+            self._iteration = jax.vmap(self._iteration, in_axes=(0, 0, None))
+        self._iteration = jax.jit(self._iteration)
+
+        self.state: Optional[SimState] = None
+        self.accept_counter = 0
+        self.iteration_count = 0
+        self.stats_history: list = []
+
+    # ------------------------------------------------------------------
+    def _build_iteration(self) -> Callable:
+        cfg = self.cfg
+        masses = self.system.masses
+        kT = self._kT
+        energy_md = self.energy_md
+        protocol_fn = self.protocol_fn
+        md_step = self._md_step
+        n_md = cfg.nstepsMD
+        interval = cfg.md_report_interval
+
+        def iteration(x, v, box_key):
+            box, key = box_key
+            key, k_acc, k_vel = jax.random.split(key, 3)
+
+            # --- NCMC stage (sync MD->NCMC is free: same pytree) -----------
+            e_md0 = energy_md(x, box, None)
+            res = protocol_fn(x, v, box, key)
+            key = res.rng_key
+
+            # --- alchemical correction + Metropolis ------------------------
+            e_md1 = energy_md(res.positions, box, None)
+            correction = -((res.e_initial - e_md0) + (e_md1 - res.e_final)) / kT
+            log_accept = res.log_accept + correction
+            finite = jnp.isfinite(log_accept)
+            rand = jnp.log(jax.random.uniform(k_acc, (), x.dtype))
+            accepted = finite & (log_accept > rand)
+            x = jnp.where(accepted, res.positions, x)
+
+            # --- reset: resample Maxwell-Boltzmann velocities --------------
+            v = maxwell_boltzmann_velocities(k_vel, masses, cfg.temperature, x.dtype)
+            v = self._constrain[1](v, x)
+
+            # --- MD relaxation ---------------------------------------------
+            _, f0 = self.force_md(x, box, None)
+            if interval is None or n_md == 0:
+                carry = (x, v, f0, key, box)
+                if n_md > 0:
+                    carry, _ = jax.lax.scan(md_step, carry, None, length=n_md)
+                x, v, _, key, _ = carry
+                frames = None
+            else:
+                n_chunks = n_md // interval
+
+                def chunk(carry, _):
+                    carry, _ = jax.lax.scan(md_step, carry, None, length=interval)
+                    return carry, carry[0]
+
+                carry = (x, v, f0, key, box)
+                carry, frames = jax.lax.scan(chunk, carry, None, length=n_chunks)
+                x, v, _, key, _ = carry
+
+            e_md_end = energy_md(x, box, None)
+            stats = IterationStats(
+                accepted=accepted,
+                protocol_work=res.protocol_work,
+                correction=correction,
+                log_accept=log_accept,
+                md_potential=e_md_end,
+                ncmc_potential=res.e_final,
+            )
+            return (x, v, key), stats, frames
+
+        def wrapped(state_x_v, keys, box):
+            x, v = state_x_v
+            return iteration(x, v, (box, keys))
+
+        return wrapped
+
+    # ------------------------------------------------------------------
+    def initialize(self, positions, box=None, key=None, velocities=None):
+        """Set the initial state. With n_replicas > 1, positions may be
+        (N, 3) (broadcast) or (R, N, 3)."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(int(time.time_ns() % (2**31)))
+        if box is None:
+            box = self.system.box
+            if box is None:
+                box = np.eye(3) * 999.0  # effectively non-periodic
+        box = jnp.asarray(box, jnp.float32)
+        x = jnp.asarray(positions, jnp.float32)
+        R = cfg.n_replicas
+        if R > 1:
+            keys = jax.random.split(key, R)
+            if x.ndim == 2:
+                x = jnp.broadcast_to(x, (R,) + x.shape)
+            if velocities is None:
+                v = jax.vmap(
+                    lambda k: maxwell_boltzmann_velocities(
+                        k, self.system.masses, cfg.temperature
+                    )
+                )(jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys))
+            else:
+                v = jnp.asarray(velocities, jnp.float32)
+            self.state = SimState(x, v, box, keys)
+        else:
+            if velocities is None:
+                key, vk = jax.random.split(key)
+                v = maxwell_boltzmann_velocities(vk, self.system.masses, cfg.temperature)
+            else:
+                v = jnp.asarray(velocities, jnp.float32)
+            self.state = SimState(x, v, box, key)
+        return self.state
+
+    def run_iteration(self):
+        """One MD<->NCMC iteration; returns (stats, md_frames)."""
+        s = self.state
+        (x, v, key), stats, frames = self._iteration((s.positions, s.velocities), s.rng_key, s.box)
+        self.state = SimState(x, v, s.box, key)
+        self.iteration_count += 1
+        return stats, frames
+
+    def run(self, n_iter: Optional[int] = None, reporters=()):
+        """Run the full loop, mirroring BLUESSimulation.run
+        (reference: blues/simulation.py:1215-1257). Returns acceptance ratio.
+        """
+        n_iter = n_iter if n_iter is not None else self.cfg.nIter
+        n_accept = 0.0
+        n_total = 0.0
+        for it in range(n_iter):
+            stats, frames = self.run_iteration()
+            acc = np.asarray(stats.accepted)
+            n_accept += float(acc.sum())
+            n_total += float(acc.size)
+            self.stats_history.append(jax.tree.map(np.asarray, stats))
+            for rep in reporters:
+                rep.report(self, it, stats, frames)
+        ratio = n_accept / max(n_total, 1.0)
+        logger.info("Acceptance Ratio: %s", ratio)
+        logger.info("nIter: %s", n_iter)
+        return ratio

@@ -1,0 +1,132 @@
+"""Built-in test systems.
+
+`charged_ethylene()` reconstructs the reference's 8-particle two-state
+regression system natively (parameters transcribed from
+reference: blues/tests/data/ethylene_system.xml and initial coordinates
+from blues/tests/data/ethylene_structure.pdb): two fixed charged sites plus
+an ethylene molecule tethered between them by a stiff centroid spring, with
+a CustomNonbondedForce-style interaction `q/(r^2) + LJ` whose sigma/epsilon
+are scaled by the lambda_sterics / lambda_electrostatics globals. The
+equilibrium two-state populations are [0.25, 0.75]
+(reference: blues/tests/test_ethylene.py:151), which the end-to-end
+statistical test reproduces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core.system import (
+    CentroidRestraint,
+    Constraints,
+    CustomPairForce,
+    HarmonicAngles,
+    HarmonicBonds,
+    PeriodicTorsions,
+    System,
+    Topology,
+)
+
+ETHYLENE_ENERGY = (
+    "q/(r^2) + 4*epsilon*((sigma/r)^12-(sigma/r)^6);"
+    " sigma=0.5*(sigma1+sigma2)*lambda_sterics;"
+    " epsilon=sqrt(epsilon1*epsilon2)*lambda_electrostatics;"
+    " q = lambda_charge*(q1*q2)"
+)
+
+
+def charged_ethylene():
+    """Returns (System, positions_nm). Alchemical atoms are [2..7]."""
+    masses = np.array([0.0, 0.0, 12.01, 12.01, 1.008, 1.008, 1.008, 1.008])
+
+    bonds = HarmonicBonds(
+        idx=np.array([[2, 3], [2, 4], [2, 5], [3, 6], [3, 7]], np.int32),
+        length=np.array([0.13343, 0.10879, 0.10879, 0.10879, 0.10879]),
+        k=np.array([476473.92, 287106.08, 287106.08, 287106.08, 287106.08]),
+    )
+    angles = HarmonicAngles(
+        idx=np.array(
+            [[2, 3, 6], [2, 3, 7], [3, 2, 4], [3, 2, 5], [4, 2, 5], [6, 3, 7]], np.int32
+        ),
+        theta0=np.array([2.10190092] * 4 + [2.04029077] * 2),
+        k=np.array([417.1448] * 4 + [318.90448] * 2),
+    )
+    torsions = PeriodicTorsions(
+        idx=np.array([[4, 2, 3, 6], [4, 2, 3, 7], [5, 2, 3, 6], [5, 2, 3, 7]], np.int32),
+        periodicity=np.array([2, 2, 2, 2], np.int32),
+        phase=np.array([3.141594] * 4),
+        k=np.array([27.8236] * 4),
+    )
+    constraints = Constraints(
+        idx=np.array([[2, 4], [2, 5], [3, 6], [3, 7]], np.int32),
+        dist=np.array([0.10879] * 4),
+    )
+    # per-particle params: (sigma, epsilon, q, lambda_on)
+    per_particle = np.array(
+        [
+            [0.324999852378, 0.71128, -0.2, 10.0],
+            [0.324999852378, 0.71128, -0.5, 10.0],
+            [0.40796034095337974, 0.35982400053705343, 0.0, 0.0],
+            [0.40796034095337974, 0.35982400053705343, 0.0, 0.0],
+            [0.31195709504821023, 0.06276000026869927, 1.0, 0.0],
+            [0.31195709504821023, 0.06276000026869927, 1.0, 0.0],
+            [0.31195709504821023, 0.06276000026869927, 0.0, 0.0],
+            [0.31195709504821023, 0.06276000026869927, 0.0, 0.0],
+        ]
+    )
+    custom = CustomPairForce(
+        energy=ETHYLENE_ENERGY,
+        per_particle_names=("sigma", "epsilon", "q", "lambda_on"),
+        per_particle=per_particle,
+        globals_defaults={
+            "lambda_sterics": 1.0,
+            "lambda_electrostatics": 1.0,
+            "lambda_charge": 1.0,
+        },
+        group_a=np.array([0, 1], np.int32),
+        group_b=np.array([2, 3, 4, 5, 6, 7], np.int32),
+        cutoff=None,  # OpenMM method=0 (NoCutoff)
+        uses_periodic=False,
+    )
+    centroid = CentroidRestraint(
+        group1=np.array([0, 1], np.int32),
+        group2=np.array([2, 3], np.int32),
+        weights1=np.array([0.5, 0.5]),
+        weights2=np.array([0.5, 0.5]),  # equal carbon masses -> equal weights
+        k=100000.0,
+    )
+    topology = Topology(
+        atom_names=["N", "N", "C1", "C2", "H1", "H2", "H3", "H4"],
+        residue_names=["TMP", "TMP", "LIG", "LIG", "LIG", "LIG", "LIG", "LIG"],
+        residue_ids=np.array([1, 2, 3, 3, 3, 3, 3, 3], np.int32),
+        elements=["N", "N", "C", "C", "H", "H", "H", "H"],
+        bonds=bonds.idx,
+    )
+    box = np.eye(3) * 2.0
+
+    system = System(
+        masses=masses,
+        bonds=bonds,
+        angles=angles,
+        torsions=torsions,
+        custom_pairs=[custom],
+        centroid_restraints=[centroid],
+        constraints=constraints,
+        box=box,
+        topology=topology,
+    )
+
+    # initial coordinates (Angstrom -> nm)
+    positions = 0.1 * np.array(
+        [
+            [-3.000, 5.000, -3.000],
+            [3.000, 0.000, 3.000],
+            [0.284, 1.030, -0.184],
+            [-0.640, 1.956, -0.447],
+            [1.336, 1.290, -0.150],
+            [0.000, 0.000, 0.000],
+            [-1.692, 1.695, -0.481],
+            [-0.356, 2.986, -0.632],
+        ]
+    )
+    return system, positions
