@@ -31,6 +31,7 @@ def make_energy_fn(
     ewald_tolerance: float = 5e-4,
     rf_dielectric: float = 78.3,
     use_pallas: Optional[bool] = None,
+    nonbonded_backend: str = "auto",
 ) -> Callable:
     """Build energy_fn(positions, box=None, globals_=None) -> scalar kJ/mol."""
     terms = []
@@ -65,6 +66,7 @@ def make_energy_fn(
             rf_dielectric=rf_dielectric,
             box_for_pme=system.box,
             use_pallas=bool(use_pallas),
+            backend=nonbonded_backend,
         )
         terms.append(lambda x, box, g: nb_fn(x, box, g))
 

@@ -144,12 +144,38 @@ def make_nonbonded_energy(
     pme_params: Optional[PMEParams] = None,
     box_for_pme=None,
     use_pallas: bool = False,
+    backend: str = "auto",
 ):
     """Build fn(positions, box, globals) -> energy for the full nonbonded term.
 
     globals keys: 'lambda_sterics', 'lambda_electrostatics' (default 1.0).
+    backend: 'dense' (materialized upper-triangle, small systems),
+    'tiled' (scan over row tiles, any size), 'pallas' (TPU kernel), or
+    'auto' (dense below 4096 atoms, otherwise pallas on TPU / tiled on CPU).
     """
     n = nb.charge.shape[0]
+    if backend == "auto":
+        if use_pallas:
+            backend = "pallas"
+        elif n <= 4096:
+            backend = "dense"
+        else:
+            import jax as _jax
+
+            backend = "pallas" if _jax.default_backend() == "tpu" else "tiled"
+    if backend in ("tiled", "pallas"):
+        return _make_pair_backend_energy(
+            nb,
+            method=method,
+            cutoff=cutoff,
+            alchemical=alchemical,
+            alchemical_pme_treatment=alchemical_pme_treatment,
+            ewald_tolerance=ewald_tolerance,
+            rf_dielectric=rf_dielectric,
+            pme_params=pme_params,
+            box_for_pme=box_for_pme,
+            backend=backend,
+        )
     charges = np.asarray(nb.charge, np.float64)
     sigmas = np.asarray(nb.sigma, np.float64)
     epsilons = np.asarray(nb.epsilon, np.float64)
@@ -317,6 +343,181 @@ def make_nonbonded_energy(
             e_total = e_total - ke * math.pi / (2.0 * alpha * alpha) * qtot * qtot / vol
             # exclusion corrections: remove reciprocal-space interaction of
             # excluded pairs (includes exception pairs)
+            if len(excl):
+                drx = positions[excl[:, 0]] - positions[excl[:, 1]]
+                drx = periodic_displacement(drx, box)
+                rx = distance(drx)
+                qq_x = q_eff[excl[:, 0]] * q_eff[excl[:, 1]]
+                e_total = e_total - jnp.sum(ke * qq_x * jax.lax.erf(alpha * rx) / rx)
+        return e_total
+
+    energy.pme_params = pme_params
+    return energy
+
+
+def _make_pair_backend_energy(
+    nb: NonbondedParams,
+    *,
+    method: str,
+    cutoff: float,
+    alchemical: Optional[AlchemicalRegion],
+    alchemical_pme_treatment: str,
+    ewald_tolerance: float,
+    rf_dielectric: float,
+    pme_params: Optional[PMEParams],
+    box_for_pme,
+    backend: str,
+):
+    """Large-system nonbonded energy: tiled/pallas pair sum + corrections.
+
+    The O(N^2) pair sum runs in a backend kernel over ALL non-identical
+    pairs; the (short) exclusion/exception lists are then corrected with
+    plain gathered jnp ops, which autodiff handles. Identical math to the
+    dense path (shared potentials.pairs formulas).
+    """
+    from .pairs import pair_energy_force
+    from .tiled import build_pair_features, make_tiled_pair_sum
+
+    n = nb.charge.shape[0]
+    charges = np.asarray(nb.charge, np.float64)
+    is_alch = np.zeros(n, bool)
+    sc = alchemical if alchemical is not None else AlchemicalRegion(atoms=np.zeros(0, np.int32))
+    if alchemical is not None and len(alchemical.atoms):
+        is_alch[np.asarray(alchemical.atoms, np.int64)] = True
+    exact = alchemical_pme_treatment == "exact"
+
+    if method == PME:
+        if pme_params is None:
+            if box_for_pme is None:
+                raise ValueError("PME requires pme_params or box_for_pme")
+            pme_params = choose_pme_params(np.diag(np.asarray(box_for_pme)), cutoff, ewald_tolerance)
+        alpha = pme_params.alpha
+        from .pme import make_pme_reciprocal
+
+        recip_fn = make_pme_reciprocal(pme_params)
+    else:
+        alpha, recip_fn = 0.0, None
+    if method in (CUTOFF_PERIODIC, CUTOFF_NONPERIODIC):
+        k_rf, c_rf = reaction_field_constants(cutoff, rf_dielectric)
+    else:
+        k_rf, c_rf = 0.0, 0.0
+
+    feats = build_pair_features(charges, nb.sigma, nb.epsilon, is_alch)
+    periodic = method in (PME, CUTOFF_PERIODIC)
+    common = dict(
+        method=method,
+        cutoff=cutoff,
+        alpha_ewald=alpha,
+        k_rf=k_rf,
+        c_rf=c_rf,
+        annihilate_sterics=sc.annihilate_sterics,
+        softcore_alpha=sc.softcore_alpha,
+        periodic=periodic,
+    )
+    if backend == "pallas":
+        from .pallas.pair_kernel import make_pallas_pair_sum
+
+        pair_sum = make_pallas_pair_sum(feats, **common)
+    else:
+        pair_sum = make_tiled_pair_sum(feats, **common)
+
+    excl = np.asarray(nb.exclusions, np.int64).reshape(-1, 2)
+    exc_idx = np.asarray(nb.exceptions_idx, np.int64).reshape(-1, 2)
+    sigmas = np.asarray(nb.sigma, np.float64)
+    epsilons = np.asarray(nb.epsilon, np.float64)
+    ke = units.ONE_4PI_EPS0
+    use_cutoff = method in (PME, CUTOFF_PERIODIC, CUTOFF_NONPERIODIC)
+    q_std_np = charges * (1.0 - is_alch)
+    q_alch_np = charges * is_alch
+
+    # precomputed per-exclusion-pair parameters
+    if len(excl):
+        x_sig = 0.5 * (sigmas[excl[:, 0]] + sigmas[excl[:, 1]])
+        x_eps = np.sqrt(epsilons[excl[:, 0]] * epsilons[excl[:, 1]])
+        x_qq_std = q_std_np[excl[:, 0]] * q_std_np[excl[:, 1]]
+        x_qq_na = (
+            q_std_np[excl[:, 0]] * q_alch_np[excl[:, 1]]
+            + q_alch_np[excl[:, 0]] * q_std_np[excl[:, 1]]
+        )
+        x_qq_aa = q_alch_np[excl[:, 0]] * q_alch_np[excl[:, 1]]
+        ai, aj = is_alch[excl[:, 0]], is_alch[excl[:, 1]]
+        x_scale = (ai ^ aj) | ((ai & aj) & sc.annihilate_sterics)
+
+    def energy(positions, box=None, globals_=None):
+        dtype = positions.dtype
+        g = globals_ or {}
+        lam_s = jnp.asarray(g.get("lambda_sterics", 1.0), dtype)
+        lam_e = jnp.asarray(g.get("lambda_electrostatics", 1.0), dtype)
+        f_na = lam_e
+        f_aa = lam_e * lam_e if exact else lam_e
+        if not sc.annihilate_electrostatics:
+            f_aa = jnp.asarray(1.0, dtype)
+
+        e_total = pair_sum.energy(positions, box, lam_s, f_na, f_aa)
+
+        # subtract excluded pairs (same per-pair formula, same cutoff mask)
+        if len(excl):
+            dr = positions[excl[:, 0]] - positions[excl[:, 1]]
+            if periodic and box is not None:
+                dr = periodic_displacement(dr, box)
+            r2 = jnp.maximum(jnp.sum(dr * dr, -1), 1e-6)
+            e_x, _ = pair_energy_force(
+                r2,
+                jnp.asarray(x_sig, dtype),
+                jnp.asarray(x_eps, dtype),
+                jnp.asarray(x_qq_std, dtype),
+                jnp.asarray(x_qq_na, dtype),
+                jnp.asarray(x_qq_aa, dtype),
+                jnp.asarray(x_scale),
+                lam_sterics=lam_s,
+                f_na=f_na,
+                f_aa=f_aa,
+                method=method,
+                alpha_ewald=alpha,
+                k_rf=k_rf,
+                c_rf=c_rf,
+                softcore_alpha=sc.softcore_alpha,
+            )
+            if use_cutoff:
+                e_x = jnp.where(r2 < cutoff * cutoff, e_x, 0.0)
+            e_total = e_total - jnp.sum(e_x)
+
+        # exceptions (1-4): own params, bare-Coulomb kernel, lambda rules
+        if len(exc_idx):
+            dre = positions[exc_idx[:, 0]] - positions[exc_idx[:, 1]]
+            if periodic and box is not None:
+                dre = periodic_displacement(dre, box)
+            re2 = jnp.maximum(jnp.sum(dre * dre, -1), 1e-12)
+            re = jnp.sqrt(re2)
+            ai = is_alch[exc_idx[:, 0]]
+            aj = is_alch[exc_idx[:, 1]]
+            na_e = ai ^ aj
+            aa_e = ai & aj
+            s_ster = jnp.asarray(na_e | (aa_e & sc.annihilate_sterics))
+            s_elec = jnp.asarray(na_e | (aa_e & sc.annihilate_electrostatics))
+            sig_e = jnp.asarray(nb.exceptions_sigma, dtype)
+            eps_e = jnp.asarray(nb.exceptions_epsilon, dtype)
+            qq_e = jnp.asarray(nb.exceptions_chargeprod, dtype)
+            lj_e = jnp.where(
+                s_ster,
+                softcore_lj_energy_pair(re2, sig_e, eps_e, lam_s, sc.softcore_alpha, sc.softcore_a, sc.softcore_b),
+                lj_energy_pair(re2, sig_e, eps_e),
+            )
+            el_e = ke * qq_e / re
+            el_e = jnp.where(s_elec, lam_e * el_e, el_e)
+            e_total = e_total + jnp.sum(lj_e + el_e)
+
+        if method == PME:
+            if exact and alchemical is not None:
+                lamq = jnp.where(jnp.asarray(is_alch), lam_e, 1.0)
+                q_eff = jnp.asarray(charges, dtype) * lamq
+            else:
+                q_eff = jnp.asarray(q_std_np if alchemical is not None else charges, dtype)
+            e_total = e_total + recip_fn(positions, q_eff, box)
+            e_total = e_total - ke * alpha / math.sqrt(math.pi) * jnp.sum(q_eff * q_eff)
+            vol = box[0, 0] * box[1, 1] * box[2, 2]
+            qtot = jnp.sum(q_eff)
+            e_total = e_total - ke * math.pi / (2.0 * alpha * alpha) * qtot * qtot / vol
             if len(excl):
                 drx = positions[excl[:, 0]] - positions[excl[:, 1]]
                 drx = periodic_displacement(drx, box)

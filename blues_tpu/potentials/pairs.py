@@ -1,0 +1,123 @@
+"""Shared per-pair nonbonded math (energy + radial force factor).
+
+One set of formulas used by three backends so they agree bit-for-bit in
+structure: the dense jnp path (small systems / tests), the scan-tiled jnp
+path (large systems on CPU, correctness reference), and the Pallas TPU
+kernel (production). Also used to *subtract* excluded-pair contributions
+outside the kernels.
+
+Electrostatics decomposition: with q_std = charges with alchemical atoms
+zeroed (direct-space treatment) or lambda-scaled ('exact'), and
+q_alch = charges on alchemical atoms only, every pair product is
+
+    qq = qs_i qs_j  +  f_na (qs_i qa_j + qa_i qs_j)  +  f_aa qa_i qa_j
+
+where (f_na, f_aa) are the lambda factors for non-alchemical x alchemical
+and alchemical x alchemical pairs. Sterics: the softcore form evaluated at
+lambda=1 *is* plain LJ, so per-pair effective lambda
+lam_eff = scale ? lam_sterics : 1 removes all branching
+(softcore defaults: reference blues/simulation.py:225-237).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .. import units
+
+SQRT_PI = math.sqrt(math.pi)
+
+
+def erfc_approx(x):
+    """erfc for x >= 0, Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7).
+
+    Used instead of jax.lax.erfc so the identical formula lowers inside
+    Pallas TPU kernels (erfc has no Mosaic lowering) and all three nonbonded
+    backends agree bit-for-bit in structure. The 1.5e-7 absolute error is at
+    the f32 rounding floor.
+    """
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return poly * jnp.exp(-x * x)
+
+
+def softcore_lj(r2, sigma, epsilon, lam_eff, alpha=0.5):
+    """Returns (energy, g) for softcore LJ with a=b=1, c=6.
+
+    g = (dU/dr)/r, so the force on atom i is F_i = -g * dr_vec.
+    """
+    s2 = sigma * sigma
+    s6 = s2 * s2 * s2
+    r6 = r2 * r2 * r2
+    reff6 = alpha * (1.0 - lam_eff) * s6 + r6
+    inv_reff6 = 1.0 / reff6
+    x = s6 * inv_reff6
+    e = 4.0 * epsilon * lam_eff * (x * x - x)
+    # dU/dr / r = -24 eps lam (2x - 1) s6 r^4 / reff6^2
+    g = -24.0 * epsilon * lam_eff * (2.0 * x - 1.0) * x * inv_reff6 * r2 * r2
+    return e, g
+
+
+def coulomb_erfc(r2, qq, alpha_ewald):
+    """Returns (energy, g) for ke*qq*erfc(alpha r)/r."""
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / r
+    erfc_term = erfc_approx(alpha_ewald * r)
+    e = units.ONE_4PI_EPS0 * qq * erfc_term * inv_r
+    gauss = (2.0 * alpha_ewald / SQRT_PI) * jnp.exp(-(alpha_ewald * alpha_ewald) * r2)
+    g = -units.ONE_4PI_EPS0 * qq * (erfc_term * inv_r + gauss) * inv_r * inv_r
+    return e, g
+
+
+def coulomb_rf(r2, qq, k_rf, c_rf):
+    """Reaction field: ke*qq*(1/r + k_rf r^2 - c_rf)."""
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / r
+    e = units.ONE_4PI_EPS0 * qq * (inv_r + k_rf * r2 - c_rf)
+    g = units.ONE_4PI_EPS0 * qq * (-inv_r * inv_r * inv_r + 2.0 * k_rf)
+    return e, g
+
+
+def coulomb_plain(r2, qq):
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / r
+    e = units.ONE_4PI_EPS0 * qq * inv_r
+    g = -e * inv_r * inv_r
+    return e, g
+
+
+def pair_energy_force(
+    r2,
+    sig,
+    eps,
+    qq_std,
+    qq_na,
+    qq_aa,
+    scale_ster,
+    *,
+    lam_sterics,
+    f_na,
+    f_aa,
+    method: str,
+    alpha_ewald: float = 0.0,
+    k_rf: float = 0.0,
+    c_rf: float = 0.0,
+    softcore_alpha: float = 0.5,
+):
+    """Full pair term on broadcastable arrays. Returns (e, g)."""
+    lam_eff = jnp.where(scale_ster, lam_sterics, 1.0)
+    e_lj, g_lj = softcore_lj(r2, sig, eps, lam_eff, softcore_alpha)
+    qq = qq_std + f_na * qq_na + f_aa * qq_aa
+    if method == "PME":
+        e_el, g_el = coulomb_erfc(r2, qq, alpha_ewald)
+    elif method in ("CutoffPeriodic", "CutoffNonPeriodic"):
+        e_el, g_el = coulomb_rf(r2, qq, k_rf, c_rf)
+    else:
+        e_el, g_el = coulomb_plain(r2, qq)
+    return e_lj + e_el, g_lj + g_el

@@ -1,0 +1,215 @@
+"""Tiled Pallas TPU kernel for the nonbonded pair sum.
+
+The hot op of the framework: all-pairs softcore LJ + electrostatics with
+forces, replacing OpenMM's CUDA direct-space nonbonded kernels (the compute
+core the reference delegates every step to, SURVEY.md 2.3). The kernel
+computes energy AND analytic forces in one pass over (TILE x TILE) blocks
+held in VMEM, so per force evaluation each atom tile is read N/TILE times
+from HBM and no O(N^2) intermediate ever exists. The per-pair math is the
+shared `potentials.pairs` formulas — identical to the dense/tiled jnp
+backends, which serve as its correctness references.
+
+Layout: atoms live in (8, Np) transposed arrays (8 = f32 sublane tile);
+coordinates in rows 0-2 of `xt`, static features in rows 0-4 of `feats`
+(q_std, q_alch, sigma, epsilon, alch_flag). Outputs are (8, Np): force in
+rows 0-2, per-atom half-energy in row 3. The j grid dimension is innermost,
+so the row-tile output block stays resident while all column tiles
+accumulate into it.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pairs import pair_energy_force
+from ..tiled import PairFeatures
+
+TILE = 256
+
+
+def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, periodic, n_atoms):
+    use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
+
+    def kernel(params_ref, xi_ref, xj_ref, fi_ref, fj_ref, out_ref):
+        j = pl.program_id(1)
+        i = pl.program_id(0)
+
+        lam_s = params_ref[0, 0]
+        f_na = params_ref[0, 1]
+        f_aa = params_ref[0, 2]
+
+        # pairwise displacements per dimension, minimum image
+        dxs = []
+        r2 = jnp.zeros((TILE, TILE), jnp.float32)
+        for d in range(3):
+            xi = xi_ref[d, :][:, None]
+            xj = xj_ref[d, :][None, :]
+            dx = xi - xj
+            if periodic:
+                L = params_ref[0, 3 + d]
+                dx = dx - L * jnp.round(dx / L)
+            dxs.append(dx)
+            r2 = r2 + dx * dx
+
+        ri = i * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        cj = j * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        valid = (ri != cj) & (ri < n_atoms) & (cj < n_atoms)
+        if use_cutoff:
+            valid = valid & (r2 < cutoff * cutoff)
+        r2 = jnp.maximum(r2, 1e-6)
+
+        qs_i = fi_ref[0, :][:, None]
+        qs_j = fj_ref[0, :][None, :]
+        qa_i = fi_ref[1, :][:, None]
+        qa_j = fj_ref[1, :][None, :]
+        sij = 0.5 * (fi_ref[2, :][:, None] + fj_ref[2, :][None, :])
+        eij = jnp.sqrt(fi_ref[3, :][:, None] * fj_ref[3, :][None, :])
+        ai = fi_ref[4, :][:, None]
+        aj = fj_ref[4, :][None, :]
+        aa = ai * aj
+        na = ai + aj - 2.0 * aa
+        scale_ster = na + ann * aa
+
+        e, g = pair_energy_force(
+            r2,
+            sij,
+            eij,
+            qs_i * qs_j,
+            qs_i * qa_j + qa_i * qs_j,
+            qa_i * qa_j,
+            scale_ster,
+            lam_sterics=lam_s,
+            f_na=f_na,
+            f_aa=f_aa,
+            method=method,
+            alpha_ewald=alpha_ewald,
+            k_rf=k_rf,
+            c_rf=c_rf,
+            softcore_alpha=softcore_alpha,
+        )
+        e = jnp.where(valid, e, 0.0)
+        g = jnp.where(valid, g, 0.0)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros((8, TILE), jnp.float32)
+
+        for d in range(3):
+            out_ref[d, :] += -jnp.sum(g * dxs[d], axis=1)
+        out_ref[3, :] += 0.5 * jnp.sum(e, axis=1)
+
+    return kernel
+
+
+def make_pallas_pair_sum(
+    feats: PairFeatures,
+    *,
+    method: str,
+    cutoff: float,
+    alpha_ewald: float,
+    k_rf: float,
+    c_rf: float,
+    annihilate_sterics: bool,
+    softcore_alpha: float = 0.5,
+    periodic: bool = True,
+    interpret: bool = None,
+):
+    """Same interface as make_tiled_pair_sum: pair_sum(x, box, lam_s, f_na,
+    f_aa) -> (E, F), with .energy exposing a custom-VJP scalar function."""
+    global pl, pltpu
+    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    n, npad = feats.n_atoms, feats.n_padded
+    n_tiles = npad // TILE
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    feat_static = np.zeros((8, npad), np.float32)
+    feat_static[0] = feats.q_std
+    feat_static[1] = feats.q_alch
+    feat_static[2] = feats.sigma
+    feat_static[3] = feats.epsilon
+    feat_static[4] = feats.alch
+    feat_static = jnp.asarray(feat_static)
+
+    kernel = _make_kernel(
+        method, cutoff, alpha_ewald, k_rf, c_rf,
+        1.0 if annihilate_sterics else 0.0, softcore_alpha, periodic, n,
+    )
+
+    # park padded atoms far apart (q = eps = 0 anyway)
+    pad_tail = 1e3 * (1.0 + np.arange(npad - n, dtype=np.float32))
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+    )
+
+    flops_per_pair = 60
+    cost = pl.CostEstimate(
+        flops=flops_per_pair * npad * npad,
+        bytes_accessed=4 * (8 * npad) * (2 * n_tiles + 1),
+        transcendentals=2 * npad * npad,
+    )
+
+    def _pass(x, box, lam_s, f_na, f_aa):
+        xt = jnp.zeros((8, npad), jnp.float32)
+        xt = xt.at[0:3, :n].set(x.T.astype(jnp.float32))
+        xt = xt.at[0:3, n:].set(jnp.asarray(pad_tail)[None, :])
+        blen = jnp.diagonal(box).astype(jnp.float32) if box is not None else jnp.ones(3, jnp.float32)
+        params = jnp.zeros((1, 8), jnp.float32)
+        params = params.at[0, 0].set(jnp.asarray(lam_s, jnp.float32))
+        params = params.at[0, 1].set(jnp.asarray(f_na, jnp.float32))
+        params = params.at[0, 2].set(jnp.asarray(f_aa, jnp.float32))
+        params = params.at[0, 3:6].set(blen)
+
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(params, xt, xt, feat_static, feat_static)
+        f = out[0:3, :n].T.astype(x.dtype)
+        e = jnp.sum(out[3, :n]).astype(x.dtype)
+        return e, f
+
+    @jax.custom_vjp
+    def pair_energy(x, box, lam_s, f_na, f_aa):
+        e, _ = _pass(x, box, lam_s, f_na, f_aa)
+        return e
+
+    def fwd(x, box, lam_s, f_na, f_aa):
+        e, f = _pass(x, box, lam_s, f_na, f_aa)
+        return e, (f, box, lam_s, f_na, f_aa)
+
+    def bwd(res, ct):
+        f, box, lam_s, f_na, f_aa = res
+        return (
+            -f * ct,
+            jnp.zeros_like(box),
+            jnp.zeros_like(lam_s),
+            jnp.zeros_like(f_na),
+            jnp.zeros_like(f_aa),
+        )
+
+    pair_energy.defvjp(fwd, bwd)
+
+    def pair_sum(x, box, lam_s, f_na, f_aa):
+        return _pass(x, box, lam_s, f_na, f_aa)
+
+    pair_sum.energy = pair_energy
+    return pair_sum

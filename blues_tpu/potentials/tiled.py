@@ -1,0 +1,163 @@
+"""Scan-tiled O(N^2) pair sum without materializing N x N.
+
+The production-scale nonbonded backend for systems too large for the dense
+path (e.g. the 22,340-atom T4-toluene config, reference:
+examples/rotmove_cuda.yml). A `lax.scan` over row tiles computes
+(TILE, N) blocks — XLA keeps HBM traffic to a few fused temporaries and the
+VPU does the per-pair math. Forces are computed analytically in the same
+pass (radial factor from potentials.pairs), exposed to autodiff through a
+custom VJP, so `value_and_grad` costs ONE pass instead of forward+reverse.
+
+The Pallas kernel (pallas/pair_kernel.py) computes identical math with
+explicit VMEM tiling; this implementation is its correctness reference and
+the CPU/test backend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pairs import pair_energy_force
+
+TILE = 256
+
+
+class PairFeatures(NamedTuple):
+    """Static per-atom feature arrays for the pair backends (padded to a
+    multiple of TILE)."""
+
+    q_std: np.ndarray  # (Np,) non-alchemical charges (alch zeroed)
+    q_alch: np.ndarray  # (Np,) alchemical charges (others zeroed)
+    sigma: np.ndarray  # (Np,)
+    epsilon: np.ndarray  # (Np,)
+    alch: np.ndarray  # (Np,) 0/1
+    n_atoms: int
+    n_padded: int
+
+
+def build_pair_features(charge, sigma, epsilon, alch_mask) -> PairFeatures:
+    n = len(charge)
+    npad = ((n + TILE - 1) // TILE) * TILE
+    pad = lambda a: np.pad(np.asarray(a, np.float64), (0, npad - n))
+    a = np.asarray(alch_mask, np.float64)
+    return PairFeatures(
+        q_std=pad(charge * (1.0 - a)),
+        q_alch=pad(charge * a),
+        sigma=pad(sigma),
+        epsilon=pad(epsilon),
+        alch=pad(a),
+        n_atoms=n,
+        n_padded=npad,
+    )
+
+
+def make_tiled_pair_sum(
+    feats: PairFeatures,
+    *,
+    method: str,
+    cutoff: float,
+    alpha_ewald: float,
+    k_rf: float,
+    c_rf: float,
+    annihilate_sterics: bool,
+    softcore_alpha: float = 0.5,
+    periodic: bool = True,
+):
+    """Returns pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) with custom VJP
+    on the energy (F reused as the pullback)."""
+    n, npad = feats.n_atoms, feats.n_padded
+    n_tiles = npad // TILE
+    qs = jnp.asarray(feats.q_std, jnp.float32)
+    qa = jnp.asarray(feats.q_alch, jnp.float32)
+    sig = jnp.asarray(feats.sigma, jnp.float32)
+    eps = jnp.asarray(feats.epsilon, jnp.float32)
+    af = jnp.asarray(feats.alch, jnp.float32)
+    ann = 1.0 if annihilate_sterics else 0.0
+    use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
+
+    def _pass(x, box, lam_s, f_na, f_aa):
+        dtype = x.dtype
+        xp = jnp.zeros((npad, 3), dtype).at[:n].set(x)
+        # park padded atoms on a far-away diagonal line so r2 > 0 always;
+        # their q/eps are zero so they contribute nothing inside the cutoff
+        pad_pos = 1e3 * (1.0 + jnp.arange(npad - n, dtype=dtype))[:, None] * jnp.ones(3, dtype)
+        xp = xp.at[n:].set(pad_pos)
+        blen = jnp.diagonal(box).astype(dtype) if box is not None else None
+
+        col_idx = jnp.arange(npad)
+
+        def row_block(carry, i0):
+            e_acc = carry
+            xi = jax.lax.dynamic_slice(xp, (i0, 0), (TILE, 3))
+            dr = xi[:, None, :] - xp[None, :, :]
+            if periodic and blen is not None:
+                dr = dr - blen * jnp.round(dr / blen)
+            r2 = jnp.sum(dr * dr, -1)
+            row_idx = i0 + jnp.arange(TILE)
+            valid = row_idx[:, None] != col_idx[None, :]
+            if use_cutoff:
+                valid = valid & (r2 < cutoff * cutoff)
+            r2 = jnp.maximum(r2, 1e-6)
+
+            def sl(a):
+                return jax.lax.dynamic_slice(a, (i0,), (TILE,))
+
+            ai = sl(af)[:, None]
+            aj = af[None, :]
+            aa = ai * aj
+            na = ai + aj - 2.0 * aa
+            scale_ster = na + ann * aa
+            sij = 0.5 * (sl(sig)[:, None] + sig[None, :])
+            eij = jnp.sqrt(sl(eps)[:, None] * eps[None, :])
+            qq_std = sl(qs)[:, None] * qs[None, :]
+            qq_na = sl(qs)[:, None] * qa[None, :] + sl(qa)[:, None] * qs[None, :]
+            qq_aa = sl(qa)[:, None] * qa[None, :]
+            e, g = pair_energy_force(
+                r2, sij, eij, qq_std, qq_na, qq_aa, scale_ster,
+                lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
+                alpha_ewald=alpha_ewald, k_rf=k_rf, c_rf=c_rf,
+                softcore_alpha=softcore_alpha,
+            )
+            e = jnp.where(valid, e, 0.0)
+            g = jnp.where(valid, g, 0.0)
+            f_i = -jnp.einsum("ij,ijd->id", g, dr)
+            e_acc = e_acc + 0.5 * jnp.sum(e)
+            return e_acc, f_i
+
+        e_total, f_tiles = jax.lax.scan(
+            row_block, jnp.zeros((), dtype), jnp.arange(n_tiles) * TILE
+        )
+        f = f_tiles.reshape(npad, 3)[:n]
+        return e_total, f
+
+    @jax.custom_vjp
+    def pair_energy(x, box, lam_s, f_na, f_aa):
+        e, _ = _pass(x, box, lam_s, f_na, f_aa)
+        return e
+
+    def fwd(x, box, lam_s, f_na, f_aa):
+        e, f = _pass(x, box, lam_s, f_na, f_aa)
+        return e, (f, box, lam_s, f_na, f_aa)
+
+    def bwd(res, ct):
+        f, box, lam_s, f_na, f_aa = res
+        return (
+            -f * ct,
+            jnp.zeros_like(box),
+            jnp.zeros_like(lam_s),
+            jnp.zeros_like(f_na),
+            jnp.zeros_like(f_aa),
+        )
+
+    pair_energy.defvjp(fwd, bwd)
+
+    def pair_sum(x, box, lam_s, f_na, f_aa):
+        return _pass(x, box, lam_s, f_na, f_aa)
+
+    pair_sum.energy = pair_energy
+    return pair_sum

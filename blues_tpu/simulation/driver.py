@@ -64,6 +64,7 @@ class SimulationConfig:
     n_replicas: int = 1
     constraint_tolerance: float = 1e-6
     use_pallas: Optional[bool] = None
+    nonbonded_backend: str = "auto"
 
 
 @pytree_dataclass
@@ -100,6 +101,7 @@ class BLUESSimulation:
             nonbonded_method=config.nonbonded_method,
             cutoff=config.cutoff,
             use_pallas=config.use_pallas,
+            nonbonded_backend=config.nonbonded_backend,
         )
         self.energy_md = make_energy_fn(md_system, **common)
         if system.alchemical is not None or system.custom_pairs:
