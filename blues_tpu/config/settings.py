@@ -1,0 +1,266 @@
+"""YAML configuration layer, schema-compatible with the reference.
+
+Reimplements blues/settings.py: `Settings(yaml_or_path).asDict()` parses the
+same YAML schema the reference uses (see reference:
+examples/rotmove_cuda.yml) — output/logger sections, structure loading,
+system build options (+ nested alchemical settings), freeze/restraints,
+simulation parameters with `calculateNCMCSteps` reconciliation, and
+md/ncmc reporter blocks. Differences by design:
+
+  * quantity strings ('10 * angstroms') parse through a conversion table
+    (blues_tpu.units.parse_quantity), not `eval` (reference
+    blues/utils.py:180-199 and settings.py:205-230 use eval);
+  * enum strings ('PME', 'HBonds') validate against lookup sets instead of
+    eval onto simtk.openmm.app objects;
+  * 'platform' is accepted but ignored (device placement is JAX's job).
+
+`create_simulation(cfg, move)` assembles the full stack: prmtop/inpcrd ->
+System (+ alchemical region, freeze, restraints) -> BLUESSimulation +
+reporters.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+import yaml
+
+from .. import units
+from ..core.amber_coords import load_inpcrd
+from ..core.prmtop import load_prmtop
+from ..core.system import AlchemicalRegion
+from ..integrators.schedules import calculate_ncmc_steps
+from ..reporters import ReporterConfig, init_logger
+
+logger = logging.getLogger("blues_tpu.settings")
+
+_NONBONDED_METHODS = {"NoCutoff", "CutoffNonPeriodic", "CutoffPeriodic", "PME", "Ewald"}
+_CONSTRAINT_OPTIONS = {"None", "HBonds", "AllBonds", "HAngles", None}
+
+#: keys parsed as quantities, with default units for bare numbers
+#: (reference blues/settings.py:139-187 set_Units)
+_QUANTITY_KEYS = {
+    "dt": "picoseconds",
+    "friction": "/picosecond",
+    "temperature": "kelvin",
+    "pressure": "bar",
+    "hydrogenMass": "daltons",
+    "nonbondedCutoff": "angstroms",
+    "switchDistance": "angstroms",
+    "freeze_distance": "angstroms",
+    "radius": "angstroms",
+    "weight": None,  # kcal/mol/A^2 restraint weight, kept numeric
+}
+
+
+class Settings:
+    """Parse + validate a YAML config (path, literal YAML string, or dict)."""
+
+    def __init__(self, config):
+        if isinstance(config, dict):
+            cfg = dict(config)
+        else:
+            cfg = self._load_yaml(config)
+        self.config = self._set_parameters(cfg)
+
+    @staticmethod
+    def _load_yaml(yaml_or_path: str) -> dict:
+        """Accept a filesystem path or literal YAML text (reference:
+        blues/settings.py:33-57)."""
+        if os.path.exists(yaml_or_path):
+            with open(yaml_or_path) as f:
+                return yaml.safe_load(f)
+        return yaml.safe_load(yaml_or_path)
+
+    # --- pipeline (reference set_Parameters, blues/settings.py:286-307) ----
+    def _set_parameters(self, cfg: dict) -> dict:
+        cfg.setdefault("output_dir", ".")
+        cfg.setdefault("outfname", "blues_tpu")
+        os.makedirs(cfg["output_dir"], exist_ok=True)
+        cfg["outfname_path"] = os.path.join(cfg["output_dir"], cfg["outfname"])
+
+        log_cfg = cfg.get("logger", {}) or {}
+        level = getattr(logging, str(log_cfg.get("level", "info")).upper(), logging.INFO)
+        cfg["Logger"] = init_logger(
+            logging.getLogger("blues_tpu"),
+            level=level,
+            stream=bool(log_cfg.get("stream", True)),
+            outfname=cfg["outfname_path"] if log_cfg.get("file", False) else None,
+        )
+
+        self._set_units(cfg)
+        self._validate_system(cfg)
+        self._set_ncmc_steps(cfg)
+        return cfg
+
+    def _set_units(self, cfg: dict):
+        def convert(section: dict):
+            for k, v in list(section.items()):
+                if isinstance(v, dict):
+                    convert(v)
+                elif k in _QUANTITY_KEYS:
+                    unit = _QUANTITY_KEYS[k]
+                    if isinstance(v, str) or unit is not None:
+                        section[k] = units.parse_quantity(v, unit)
+
+        for sec in ("system", "simulation", "freeze", "restraints"):
+            if isinstance(cfg.get(sec), dict):
+                convert(cfg[sec])
+
+    def _validate_system(self, cfg: dict):
+        sysc = cfg.get("system", {}) or {}
+        nbm = sysc.get("nonbondedMethod", "NoCutoff")
+        if nbm not in _NONBONDED_METHODS:
+            raise ValueError(
+                f"unknown nonbondedMethod {nbm!r}; options: {sorted(_NONBONDED_METHODS)}"
+            )
+        cons = sysc.get("constraints", "HBonds")
+        if cons not in _CONSTRAINT_OPTIONS:
+            raise ValueError(f"unknown constraints option {cons!r}")
+
+    def _set_ncmc_steps(self, cfg: dict):
+        sim = cfg.get("simulation", {}) or {}
+        if "nstepsNC" in sim:
+            ncmc = calculate_ncmc_steps(
+                int(sim["nstepsNC"]),
+                int(sim.get("nprop", 1)),
+                float(sim.get("propLambda", 0.3)),
+            )
+            sim.update(ncmc)
+            cfg["simulation"] = sim
+
+    def asDict(self) -> dict:
+        return self.config
+
+    def asYAML(self) -> str:
+        clean = {k: v for k, v in self.config.items() if k != "Logger"}
+        return yaml.safe_dump(clean, default_flow_style=False)
+
+    def asJSON(self) -> str:
+        import json
+
+        clean = {k: v for k, v in self.config.items() if k != "Logger"}
+        return json.dumps(clean, default=str, indent=2)
+
+
+def load_structure(cfg: dict):
+    """Build (System, positions, velocities|None) from the structure +
+    system sections (reference: blues/settings.py:59-90 set_Structure +
+    SystemFactory.generateSystem)."""
+    struct = cfg.get("structure", {}) or {}
+    sysc = cfg.get("system", {}) or {}
+    prmtop_path = struct.get("filename") or struct.get("prmtop")
+    if prmtop_path is None:
+        raise ValueError("structure.filename (prmtop) required")
+    system = load_prmtop(
+        prmtop_path,
+        constraints=str(sysc.get("constraints", "HBonds")),
+        hydrogen_mass=sysc.get("hydrogenMass"),
+    )
+    positions = velocities = None
+    box = None
+    if struct.get("restart"):
+        crd = load_inpcrd(struct["restart"])
+        positions, velocities, box = crd.positions, crd.velocities, crd.box
+    elif struct.get("xyz") or struct.get("inpcrd"):
+        crd = load_inpcrd(struct.get("xyz") or struct.get("inpcrd"))
+        positions, box = crd.positions, crd.box
+    if box is not None:
+        system = system.replace(box=box)
+
+    # alchemical region over the ligand selection
+    alch_cfg = dict(sysc.get("alchemical", {}) or {})
+    lig_resname = (cfg.get("ligand", {}) or {}).get("resname", "LIG")
+    lig = system.topology.select_resname(lig_resname)
+    if len(lig):
+        system = system.replace(
+            alchemical=AlchemicalRegion(atoms=lig, **alch_cfg)
+        )
+
+    # freeze section (reference SystemFactory.freeze_radius,
+    # blues/simulation.py:394-480)
+    frz = cfg.get("freeze")
+    if frz and positions is not None:
+        center_sel = str(frz.get("freeze_center", ":LIG")).strip(": ")
+        center = system.topology.select_resname(center_sel)
+        system = system.freeze_radius(
+            positions, center, float(frz.get("freeze_distance", 0.5))
+        )
+    # restraints section (reference SystemFactory.restrain_positions)
+    rst = cfg.get("restraints")
+    if rst and positions is not None:
+        sel = str(rst.get("selection", ":LIG")).strip(": ")
+        idx = system.topology.select_resname(sel)
+        system = system.restrain_positions(
+            positions, idx, float(rst.get("weight", 5.0))
+        )
+    return system, positions, velocities
+
+
+def create_simulation(config, move=None, n_replicas: int = 1):
+    """YAML/dict -> (BLUESSimulation, md_reporters, ncmc_reporters).
+
+    The full reference startup call stack (SURVEY.md 3.1) in one call.
+    If move is None, a RandomLigandRotationMove on resname LIG is built
+    (the reference example flow, blues/example.py:7-29).
+    """
+    from ..moves import MoveEngine, RandomLigandRotationMove
+    from ..simulation import BLUESSimulation, SimulationConfig
+
+    cfg = Settings(config).asDict() if not isinstance(config, Settings) else config.asDict()
+    system, positions, velocities = load_structure(cfg)
+    sim_cfg = cfg.get("simulation", {}) or {}
+    sysc = cfg.get("system", {}) or {}
+
+    if move is None:
+        lig_resname = (cfg.get("ligand", {}) or {}).get("resname", "LIG")
+        lig = system.topology.select_resname(lig_resname)
+        move = MoveEngine(RandomLigandRotationMove(lig, system.masses))
+
+    nbm = sysc.get("nonbondedMethod", "NoCutoff")
+    if nbm == "Ewald":
+        nbm = "PME"
+    config_obj = SimulationConfig(
+        nIter=int(sim_cfg.get("nIter", 100)),
+        nstepsNC=int(sim_cfg.get("nstepsNC", 100)),
+        nstepsMD=int(sim_cfg.get("nstepsMD", 100)),
+        temperature=float(sim_cfg.get("temperature", 300.0)),
+        dt=float(sim_cfg.get("dt", 0.002)),
+        friction=float(sim_cfg.get("friction", 1.0)),
+        nprop=int(sim_cfg.get("nprop", 1)),
+        propLambda=float(sim_cfg.get("propLambda", 0.3)),
+        moveStep=sim_cfg.get("moveStep"),
+        nonbonded_method=nbm,
+        cutoff=float(sysc.get("nonbondedCutoff", 1.0)),
+        md_report_interval=_md_frame_interval(cfg, int(sim_cfg.get("nstepsMD", 100))),
+        n_replicas=n_replicas,
+    )
+    sim = BLUESSimulation(system, move, config_obj)
+    if positions is not None:
+        sim.initialize(positions, velocities=velocities if n_replicas == 1 else None)
+        min_steps = int(sim_cfg.get("minimize", 0) or 0)
+        if min_steps:
+            sim.minimize(min_steps)
+
+    out = cfg["outfname_path"]
+    log = cfg.get("Logger")
+    md_reps = ReporterConfig(out + "-md", cfg.get("md_reporters", {}), log, source="md").makeReporters()
+    ncmc_reps = ReporterConfig(out + "-ncmc", cfg.get("ncmc_reporters", {}), log, source="ncmc").makeReporters()
+    return sim, md_reps, ncmc_reps
+
+
+def _md_frame_interval(cfg, nsteps_md: int) -> Optional[int]:
+    md_reps = cfg.get("md_reporters", {}) or {}
+    traj = md_reps.get("traj_netcdf")
+    if not traj or "reportInterval" not in traj:
+        return None
+    interval = int(traj["reportInterval"])
+    if interval >= nsteps_md:
+        return nsteps_md
+    # frames collected every `interval` MD steps within the iteration
+    while nsteps_md % interval:
+        interval += 1
+    return interval

@@ -86,7 +86,8 @@ def minimize_fire(
     restart_len = 100
     n_restarts = max(1, n_steps // restart_len)
 
-    def restart_block(x, _):
+    def restart_block(carry, _):
+        x, best_x, best_e = carry
         carry0 = (
             x,
             jnp.zeros_like(x),
@@ -94,11 +95,28 @@ def minimize_fire(
             jnp.asarray(alpha_start, x.dtype),
             jnp.zeros((), jnp.int32),
         )
-        (x, _, _, _, _), _ = jax.lax.scan(step, carry0, None, length=restart_len)
-        return x, None
+        (x, _, _, _, _), energies = jax.lax.scan(step, carry0, None, length=restart_len)
+        # FIRE is dynamics, not strict descent: keep the best state seen
+        # (block energies are evaluated pre-step; the block end state is
+        # scored against the running best via its own energy)
+        e_end, _ = force_fn(x, box, globals_)
+        block_best = jnp.min(energies)
+        improved = e_end < best_e
+        best_x = jnp.where(improved, x, best_x)
+        best_e = jnp.where(improved, e_end, best_e)
+        # continue from wherever we are unless the block diverged badly
+        diverged = e_end > best_e + jnp.abs(best_e) * 0.5 + 1e3
+        x = jnp.where(diverged, best_x, x)
+        return (x, best_x, best_e), None
 
     if constrain_x is not None:
         x = constrain_x(x, x)
-    x, _ = jax.lax.scan(restart_block, x, None, length=n_restarts)
+    e0, _ = force_fn(x, box, globals_)
+    (x, best_x, best_e), _ = jax.lax.scan(
+        restart_block, (x, x, e0), None, length=n_restarts
+    )
     e_final, _ = force_fn(x, box, globals_)
+    final_better = e_final < best_e
+    x = jnp.where(final_better, x, best_x)
+    e_final = jnp.where(final_better, e_final, best_e)
     return x, e_final

@@ -48,6 +48,8 @@ class NCMCResult(NamedTuple):
     log_accept: jax.Array  # -(work)/kT, before alchemical correction
     e_initial: jax.Array  # alchemical-potential energy at protocol start
     e_final: jax.Array  # alchemical-potential energy at protocol end
+    mid_positions: jax.Array  # positions right after the midpoint move
+    mid_work: jax.Array  # protocol work accumulated up to the midpoint
     move_aux: object  # pytree returned by the move (diagnostics)
 
 
@@ -106,6 +108,7 @@ def make_ncmc_protocol(
 
         e0 = energy_fn(x, box, g_initial)
         work = KahanAccumulator.zeros(dtype)
+        mid_positions, mid_work = x, work.value
         carry = (x, v, key, work, e0, box)
 
         xs1 = _stack_schedule(schedule, 0, mm, dtype)
@@ -126,6 +129,7 @@ def make_ncmc_protocol(
             work = work.add(e_b2 - e_b)  # external (move) work
             x = x_new
             e_cache = e_b2
+        mid_positions, mid_work = x, work.value
 
         xs2 = _stack_schedule(schedule, mm, schedule.n_micro, dtype)
         if schedule.n_micro - mm > 0:
@@ -151,6 +155,8 @@ def make_ncmc_protocol(
             log_accept=-protocol_work / kT,
             e_initial=e0,
             e_final=e_final,
+            mid_positions=mid_positions,
+            mid_work=mid_work,
             move_aux=aux,
         )
 

@@ -5,7 +5,7 @@ periodic reference system, e.g. PME config in
 reference: examples/rotmove_cuda.yml:20-22) with:
 
   * differentiable cardinal B-spline charge spreading (order n, default 5,
-    matching OpenMM) implemented as an XLA scatter-add,
+    matching OpenMM) formulated as separable one-hot MXU matmuls,
   * `jnp.fft.fftn` on the charge grid (XLA TPU FFT),
   * the Essmann et al. (1995) influence function with B-spline Euler
     exponential factors.
@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,39 +94,55 @@ def make_pme_reciprocal(params: PMEParams):
     mx, my, mz = modes(Kx), modes(Ky), modes(Kz)
     offsets = np.arange(order)
 
+    # Charge spreading is formulated as separable one-hot matmuls so it runs
+    # on the MXU: per atom, a dense (K,) spread vector per dimension (order
+    # nonzeros placed by comparison against the B-spline support), then
+    # grid = sum_i q_i Sx_i (x) Sy_i (x) Sz_i contracted chunk-wise as a
+    # (Kx, chunk) @ (chunk, Ky*Kz) matmul. An XLA scatter-add formulation is
+    # ~500x slower on TPU (serialized scatter); matmuls also make the force
+    # (autodiff transpose) pure MXU work.
+    CHUNK = 2048
+
+    def _spread_vectors(u_d, K):
+        """(n,) fractional grid coords -> (n, K) dense spread matrix."""
+        base = jnp.floor(u_d)
+        w = u_d - base
+        wts = bspline_weights(w, order)[..., ::-1]  # (n, order) ascending
+        idx = base.astype(jnp.int32)[:, None] - (order - 1) + jnp.asarray(
+            offsets, jnp.int32
+        )
+        idx = jnp.mod(idx, K)  # (n, order)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        onehot = (idx[:, :, None] == cols[:, None, :]).astype(wts.dtype)
+        return jnp.einsum("no,nok->nk", wts, onehot)
+
     def recip_energy(positions, charges, box):
         dtype = positions.dtype
         blen = jnp.diagonal(box)
-        # fractional coordinates scaled to grid
         u = positions / blen * jnp.array([Kx, Ky, Kz], dtype)
-        base = jnp.floor(u)
-        w = u - base  # (N, 3) in [0, 1)
-        wts = bspline_weights(w, order)  # (N, 3, order)
-        # ascending grid index k = base - (order - 1) + j carries weight
-        # M_n(w + order - 1 - j) -> reverse the weight vector
-        wts = wts[..., ::-1]
-        idx = (
-            base.astype(jnp.int32)[:, :, None]
-            - (order - 1)
-            + jnp.asarray(offsets, jnp.int32)[None, None, :]
-        )  # (N, 3, order)
-        gx = jnp.mod(idx[:, 0], Kx)
-        gy = jnp.mod(idx[:, 1], Ky)
-        gz = jnp.mod(idx[:, 2], Kz)
-        # outer products -> (N, order, order, order)
         q = jnp.asarray(charges, dtype)
-        val = (
-            q[:, None, None, None]
-            * wts[:, 0, :, None, None]
-            * wts[:, 1, None, :, None]
-            * wts[:, 2, None, None, :]
+        n = positions.shape[0]
+        npad = ((n + CHUNK - 1) // CHUNK) * CHUNK
+        u_p = jnp.zeros((npad, 3), dtype).at[:n].set(u)
+        q_p = jnp.zeros((npad,), dtype).at[:n].set(q)
+
+        def chunk_body(grid, args):
+            uc, qc = args
+            sx = _spread_vectors(uc[:, 0], Kx) * qc[:, None]  # (C, Kx)
+            sy = _spread_vectors(uc[:, 1], Ky)  # (C, Ky)
+            sz = _spread_vectors(uc[:, 2], Kz)  # (C, Kz)
+            pyz = sy[:, :, None] * sz[:, None, :]  # (C, Ky, Kz)
+            g = jnp.einsum(
+                "ca,cbz->abz", sx, pyz, preferred_element_type=jnp.float32
+            )
+            return grid + g, None
+
+        grid0 = jnp.zeros((Kx, Ky, Kz), jnp.float32)
+        grid, _ = jax.lax.scan(
+            chunk_body,
+            grid0,
+            (u_p.reshape(-1, CHUNK, 3), q_p.reshape(-1, CHUNK)),
         )
-        flat_idx = (
-            (gx[:, :, None, None] * Ky + gy[:, None, :, None]) * Kz
-            + gz[:, None, None, :]
-        ).reshape(-1)
-        grid = jnp.zeros(Kx * Ky * Kz, dtype).at[flat_idx].add(val.reshape(-1))
-        grid = grid.reshape(Kx, Ky, Kz)
 
         fq = jnp.fft.fftn(grid)
         s2 = jnp.real(fq) ** 2 + jnp.imag(fq) ** 2

@@ -1,0 +1,390 @@
+"""Reporters: stream rows, AMBER NetCDF, HDF5, restart, progress.
+
+Reimplements the reference's observability layer (blues/reporters.py +
+blues/formats.py) at iteration granularity — the driver hands each reporter
+the iteration stats and the collected MD / NCMC frames (the reference
+attaches per-step reporters to OpenMM Simulation objects instead; frame
+cadence is configured the same way via reportInterval / frame_indices).
+
+Formats:
+  * NetCDFReporter — AMBER NetCDF convention trajectory via
+    scipy.io.netcdf_file, with the BLUES extension variables protocolWork
+    (kT) and alchemicalLambda (reference: blues/formats.py:476-691
+    NetCDF4Traj).
+  * HDF5Reporter — mdtraj-HDF5-style layout via h5py, plus protocolWork /
+    alchemicalLambda / JSON parameters (reference: blues/formats.py:87-473
+    BLUESHDF5TrajectoryFile).
+  * StateDataReporter — iter / step / PE / temperature / work / speed
+    (ns/day) / progress / remaining-time rows through the logging stack at
+    REPORT level (reference: blues/reporters.py:436-728).
+  * RestartReporter — ASCII rst7 every N iterations (reference:
+    blues/reporters.py:217-225).
+  * ProgressReporter — one-line JSON progress file.
+
+All reporters handle both single-state and replica-batched runs (replica 0
+is written for trajectory formats; stats are averaged for stream rows).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+
+import numpy as np
+
+from .. import units
+from ..core.amber_coords import write_rst7
+from .logger import REPORT_LEVEL, add_report_level
+
+logger = logging.getLogger("blues_tpu.reporters")
+
+
+def _iters_interval(report_interval: int, steps_per_iter: int) -> int:
+    """Reference reportIntervals are in integrator steps
+    (e.g. examples/rotmove_cuda.yml: reportInterval 2500 with nstepsMD
+    10000); this driver reports at iteration granularity, so step-valued
+    intervals are converted to the nearest iteration count."""
+    if steps_per_iter > 0:
+        return max(1, round(report_interval / steps_per_iter))
+    return max(1, report_interval)
+
+
+class BaseReporter:
+    def report(self, sim, iteration, stats, md_frames, ncmc_frames):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class StateDataReporter(BaseReporter):
+    def __init__(
+        self,
+        title: str = "md",
+        reportInterval: int = 1,
+        totalSteps: int | None = None,
+        step: bool = True,
+        speed: bool = True,
+        progress: bool = True,
+        remainingTime: bool = True,
+        currentIter: bool = True,
+        protocolWork: bool = False,
+        alchemicalLambda: bool = False,
+        potentialEnergy: bool = True,
+        temperature: bool = False,
+        log: logging.Logger | None = None,
+    ):
+        add_report_level()
+        self.title = title
+        self.interval = max(int(reportInterval), 1)
+        self.total_steps = totalSteps
+        self.flags = dict(
+            step=step, speed=speed, progress=progress, remainingTime=remainingTime,
+            currentIter=currentIter, protocolWork=protocolWork,
+            alchemicalLambda=alchemicalLambda, potentialEnergy=potentialEnergy,
+            temperature=temperature,
+        )
+        self.log = log or logger
+        self._t0 = None
+        self._steps_done = 0
+        self._header_done = False
+
+    def report(self, sim, iteration, stats, md_frames, ncmc_frames):
+        steps_per_iter = sim.cfg.nstepsMD + getattr(sim, "propSteps", 0)
+        self._steps_done += steps_per_iter
+        if self._t0 is None:
+            self._t0 = time.time()
+            self._iters_timed = 0
+            self.interval = _iters_interval(self.interval, steps_per_iter)
+            return
+        self._iters_timed += 1
+        if (iteration + 1) % self.interval:
+            return
+        cols = [f"[{self.title}]"]
+        if self.flags["currentIter"]:
+            cols.append(f"iter={iteration + 1}")
+        if self.flags["step"]:
+            cols.append(f"steps={self._steps_done}")
+        if self.flags["potentialEnergy"]:
+            pe = float(np.mean(np.asarray(stats.md_potential)))
+            cols.append(f"PE={pe:.2f} kJ/mol")
+        if self.flags["protocolWork"]:
+            w = float(np.mean(np.asarray(stats.protocol_work))) / units.kT(
+                sim.cfg.temperature
+            )
+            cols.append(f"work={w:.3f} kT")
+        if self.flags["speed"]:
+            elapsed = max(time.time() - self._t0, 1e-9)
+            ps = self._iters_timed * steps_per_iter * sim.cfg.dt
+            cols.append(f"speed={ps / elapsed * 86.4:.2f} ns/day")
+        if self.flags["progress"] and self.total_steps:
+            cols.append(f"progress={100.0 * self._steps_done / self.total_steps:.1f}%")
+        if self.flags["remainingTime"] and self.total_steps:
+            elapsed = time.time() - self._t0
+            rate = self._steps_done / max(elapsed, 1e-9)
+            remaining = (self.total_steps - self._steps_done) / max(rate, 1e-9)
+            cols.append(f"remaining={remaining:.0f}s")
+        acc = np.asarray(stats.accepted)
+        cols.append(f"acc={float(acc.mean()):.2f}")
+        self.log.log(REPORT_LEVEL, "  ".join(cols))
+
+
+class NetCDFReporter(BaseReporter):
+    """AMBER NetCDF trajectory (+ protocolWork/alchemicalLambda for NCMC)."""
+
+    def __init__(self, filename, reportInterval: int = 1, crds: bool = True,
+                 protocolWork: bool = False, alchemicalLambda: bool = False,
+                 frame_indices=(), source: str = "md"):
+        self.filename = filename
+        self.interval = max(int(reportInterval), 1)
+        self.protocolWork = protocolWork
+        self.alchemicalLambda = alchemicalLambda
+        self.source = source  # 'md' -> md_frames, 'ncmc' -> ncmc snapshot frames
+        self._nc = None
+        self._frame = 0
+
+    def _init(self, n_atoms, box):
+        from scipy.io import netcdf_file
+
+        nc = netcdf_file(self.filename, "w", version=2, mmap=False)
+        nc.Conventions = b"AMBER"
+        nc.ConventionVersion = b"1.0"
+        nc.application = b"blues_tpu"
+        nc.program = b"blues_tpu"
+        nc.programVersion = b"0.1.0"
+        nc.title = b"blues_tpu trajectory"
+        nc.createDimension("frame", None)
+        nc.createDimension("atom", n_atoms)
+        nc.createDimension("spatial", 3)
+        nc.createDimension("cell_spatial", 3)
+        nc.createDimension("cell_angular", 3)
+        v = nc.createVariable("coordinates", "f", ("frame", "atom", "spatial"))
+        v.units = b"angstrom"
+        t = nc.createVariable("time", "f", ("frame",))
+        t.units = b"picosecond"
+        if box is not None:
+            cl = nc.createVariable("cell_lengths", "d", ("frame", "cell_spatial"))
+            cl.units = b"angstrom"
+            ca = nc.createVariable("cell_angles", "d", ("frame", "cell_angular"))
+            ca.units = b"degree"
+        if self.protocolWork:
+            nc.createVariable("protocolWork", "f", ("frame",)).units = b"kT"
+        if self.alchemicalLambda:
+            nc.createVariable("alchemicalLambda", "f", ("frame",))
+        self._nc = nc
+
+    def report(self, sim, iteration, stats, md_frames, ncmc_frames):
+        self.interval = _iters_interval(self.interval, sim.cfg.nstepsMD)
+        if (iteration + 1) % self.interval:
+            return
+        if self.source == "ncmc":
+            frames = ncmc_frames
+        else:
+            frames = md_frames
+        if frames is None:
+            return
+        frames = np.asarray(frames)
+        if frames.ndim == 4:  # replica batch: write replica 0
+            frames = frames[0]
+        box = np.asarray(sim.state.box)
+        if box.ndim == 3:
+            box = box[0]
+        if self._nc is None:
+            self._init(frames.shape[1], box)
+        kT = units.kT(sim.cfg.temperature)
+        works = {
+            0: 0.0,
+            1: float(np.mean(np.asarray(stats.mid_work))) / kT,
+            frames.shape[0] - 1: float(np.mean(np.asarray(stats.protocol_work))) / kT,
+        }
+        lams = {0: 0.0, 1: 0.5, frames.shape[0] - 1: 1.0}
+        for k, fr in enumerate(frames):
+            i = self._frame
+            self._nc.variables["coordinates"][i] = fr * 10.0
+            self._nc.variables["time"][i] = float(i)
+            if "cell_lengths" in self._nc.variables:
+                self._nc.variables["cell_lengths"][i] = np.diagonal(box) * 10.0
+                self._nc.variables["cell_angles"][i] = [90.0, 90.0, 90.0]
+            if self.protocolWork:
+                self._nc.variables["protocolWork"][i] = works.get(k, 0.0)
+            if self.alchemicalLambda:
+                self._nc.variables["alchemicalLambda"][i] = lams.get(k, 0.0)
+            self._frame += 1
+        self._nc.flush()
+
+    def close(self):
+        if self._nc is not None:
+            self._nc.close()
+            self._nc = None
+
+
+class HDF5Reporter(BaseReporter):
+    """mdtraj-HDF5-style trajectory with BLUES extension fields."""
+
+    def __init__(self, filename, reportInterval: int = 1, protocolWork: bool = True,
+                 alchemicalLambda: bool = True, parameters=None, source: str = "ncmc"):
+        self.filename = filename
+        self.interval = max(int(reportInterval), 1)
+        self.protocolWork = protocolWork
+        self.alchemicalLambda = alchemicalLambda
+        self.parameters = parameters
+        self.source = source
+        self._h5 = None
+        self._frame = 0
+
+    def _init(self, n_atoms):
+        import h5py
+
+        h5 = h5py.File(self.filename, "w")
+        h5.attrs["conventions"] = "Pande"
+        h5.attrs["conventionVersion"] = "1.1"
+        h5.attrs["program"] = "blues_tpu"
+        h5.attrs["programVersion"] = "0.1.0"
+        if self.parameters is not None:
+            h5.attrs["parameters"] = json.dumps(self.parameters, default=str)
+        h5.create_dataset(
+            "coordinates", shape=(0, n_atoms, 3), maxshape=(None, n_atoms, 3),
+            dtype="f4", chunks=(8, n_atoms, 3),
+        ).attrs["units"] = "nanometers"
+        h5.create_dataset("time", shape=(0,), maxshape=(None,), dtype="f4")
+        h5.create_dataset("cell_lengths", shape=(0, 3), maxshape=(None, 3), dtype="f4")
+        h5.create_dataset("cell_angles", shape=(0, 3), maxshape=(None, 3), dtype="f4")
+        if self.protocolWork:
+            h5.create_dataset("protocolWork", shape=(0,), maxshape=(None,), dtype="f4")
+        if self.alchemicalLambda:
+            h5.create_dataset("alchemicalLambda", shape=(0,), maxshape=(None,), dtype="f4")
+        self._h5 = h5
+
+    def report(self, sim, iteration, stats, md_frames, ncmc_frames):
+        if (iteration + 1) % self.interval:
+            return
+        frames = ncmc_frames if self.source == "ncmc" else md_frames
+        if frames is None:
+            return
+        frames = np.asarray(frames)
+        if frames.ndim == 4:
+            frames = frames[0]
+        if self._h5 is None:
+            self._init(frames.shape[1])
+        box = np.asarray(sim.state.box)
+        if box.ndim == 3:
+            box = box[0]
+        kT = units.kT(sim.cfg.temperature)
+        works = {
+            0: 0.0,
+            1: float(np.mean(np.asarray(stats.mid_work))) / kT,
+            frames.shape[0] - 1: float(np.mean(np.asarray(stats.protocol_work))) / kT,
+        }
+        lams = {0: 0.0, 1: 0.5, frames.shape[0] - 1: 1.0}
+        n_new = frames.shape[0]
+        for name in ("coordinates", "time", "cell_lengths", "cell_angles",
+                     "protocolWork", "alchemicalLambda"):
+            if name in self._h5:
+                ds = self._h5[name]
+                ds.resize(self._frame + n_new, axis=0)
+        for k, fr in enumerate(frames):
+            i = self._frame
+            self._h5["coordinates"][i] = fr
+            self._h5["time"][i] = float(i)
+            self._h5["cell_lengths"][i] = np.diagonal(box)
+            self._h5["cell_angles"][i] = [90.0, 90.0, 90.0]
+            if self.protocolWork:
+                self._h5["protocolWork"][i] = works.get(k, 0.0)
+            if self.alchemicalLambda:
+                self._h5["alchemicalLambda"][i] = lams.get(k, 0.0)
+            self._frame += 1
+        self._h5.flush()
+
+    def close(self):
+        if self._h5 is not None:
+            self._h5.close()
+            self._h5 = None
+
+
+class RestartReporter(BaseReporter):
+    def __init__(self, filename, reportInterval: int = 1):
+        self.filename = filename
+        self.interval = max(int(reportInterval), 1)
+
+    def report(self, sim, iteration, stats, md_frames, ncmc_frames):
+        self.interval = _iters_interval(self.interval, sim.cfg.nstepsMD)
+        if (iteration + 1) % self.interval:
+            return
+        s = sim.state
+        x = np.asarray(s.positions)
+        v = np.asarray(s.velocities)
+        box = np.asarray(s.box)
+        if x.ndim == 3:
+            x, v = x[0], v[0]
+        if box.ndim == 3:
+            box = box[0]
+        write_rst7(self.filename, x, v, box, time=float(iteration + 1))
+
+
+class ProgressReporter(BaseReporter):
+    def __init__(self, filename, reportInterval: int = 1, totalSteps=None):
+        self.filename = filename
+        self.interval = max(int(reportInterval), 1)
+        self.total_steps = totalSteps
+        self._t0 = time.time()
+        self._accepted = 0
+        self._count = 0
+
+    def report(self, sim, iteration, stats, md_frames, ncmc_frames):
+        acc = np.asarray(stats.accepted)
+        self._accepted += float(acc.sum())
+        self._count += acc.size
+        if (iteration + 1) % self.interval:
+            return
+        with open(self.filename, "w") as f:
+            json.dump(
+                {
+                    "iteration": iteration + 1,
+                    "nIter": sim.cfg.nIter,
+                    "acceptance": self._accepted / max(self._count, 1),
+                    "elapsed_s": time.time() - self._t0,
+                },
+                f,
+            )
+
+
+class ReporterConfig:
+    """YAML reporter-dict -> reporter objects (reference:
+    blues/reporters.py:129-242). Keys: state, traj_netcdf, h5, restart,
+    progress, stream."""
+
+    def __init__(self, outfname, reporter_config: dict, logger_=None, source="md"):
+        self.outfname = outfname
+        self.cfg = dict(reporter_config or {})
+        self.logger = logger_
+        self.source = source
+        self.trajectory_interval = (self.cfg.get("traj_netcdf") or {}).get(
+            "reportInterval"
+        )
+
+    def makeReporters(self):
+        reps = []
+        c = self.cfg
+        if "state" in c:
+            reps.append(
+                StateDataReporter(
+                    title=self.source, log=self.logger,
+                    **{k: v for k, v in (c["state"] or {}).items()},
+                )
+            )
+        if "traj_netcdf" in c:
+            kw = dict(c["traj_netcdf"] or {})
+            kw.pop("frame_indices", None)
+            reps.append(
+                NetCDFReporter(f"{self.outfname}.nc", source=self.source, **kw)
+            )
+        if "h5" in c:
+            reps.append(HDF5Reporter(f"{self.outfname}.h5", source=self.source, **(c["h5"] or {})))
+        if "restart" in c:
+            reps.append(RestartReporter(f"{self.outfname}.rst7", **(c["restart"] or {})))
+        if "progress" in c:
+            reps.append(ProgressReporter(f"{self.outfname}.progress", **(c["progress"] or {})))
+        if "stream" in c:
+            reps.append(StateDataReporter(log=self.logger, **(c["stream"] or {})))
+        return reps

@@ -1,1 +1,2 @@
 from .driver import BLUESSimulation, SimulationConfig, IterationStats
+from .montecarlo import MonteCarloSimulation, MCStats

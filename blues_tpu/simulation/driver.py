@@ -75,6 +75,7 @@ class IterationStats:
     log_accept: jax.Array
     md_potential: jax.Array  # kJ/mol at iteration end
     ncmc_potential: jax.Array  # alchemical potential at protocol end
+    mid_work: jax.Array  # protocol work accumulated at the midpoint move
 
 
 class BLUESSimulation:
@@ -171,6 +172,7 @@ class BLUESSimulation:
             key, k_acc, k_vel = jax.random.split(key, 3)
 
             # --- NCMC stage (sync MD->NCMC is free: same pytree) -----------
+            x0_ncmc = x
             e_md0 = energy_md(x, box, None)
             res = protocol_fn(x, v, box, key)
             key = res.rng_key
@@ -215,8 +217,13 @@ class BLUESSimulation:
                 log_accept=log_accept,
                 md_potential=e_md_end,
                 ncmc_potential=res.e_final,
+                mid_work=res.mid_work,
             )
-            return (x, v, key), stats, frames
+            # NCMC snapshot frames: protocol start / midpoint / end
+            # (the reference's frame_indices sentinels 1 / 0.5 / -1,
+            # blues/settings.py:271-277)
+            ncmc_frames = jnp.stack([x0_ncmc, res.mid_positions, res.positions])
+            return (x, v, key), stats, frames, ncmc_frames
 
         def wrapped(state_x_v, keys, box):
             x, v = state_x_v
@@ -260,13 +267,40 @@ class BLUESSimulation:
             self.state = SimState(x, v, box, key)
         return self.state
 
-    def run_iteration(self):
-        """One MD<->NCMC iteration; returns (stats, md_frames)."""
+    def minimize(self, n_steps: int = 1000):
+        """FIRE-minimize the current state's positions (the reference
+        workflow calls minimizeEnergy() on its Simulations before running,
+        tests/test_simulation.py:139-141)."""
+        from ..integrators.minimize import minimize_fire
+
         s = self.state
-        (x, v, key), stats, frames = self._iteration((s.positions, s.velocities), s.rng_key, s.box)
+        if s is None:
+            raise RuntimeError("call initialize() first")
+        cx = self._constrain[0]
+
+        def _min(x, box):
+            xm, _ = minimize_fire(
+                self.force_md, self.system.masses, x, box,
+                n_steps=n_steps, constrain_x=cx,
+            )
+            return xm
+
+        fn = jax.jit(_min)
+        if self.cfg.n_replicas > 1:
+            fn = jax.jit(jax.vmap(_min, in_axes=(0, None)))
+        x = fn(s.positions, s.box)
+        self.state = SimState(x, s.velocities, s.box, s.rng_key)
+        return self.state
+
+    def run_iteration(self):
+        """One MD<->NCMC iteration; returns (stats, md_frames, ncmc_frames)."""
+        s = self.state
+        (x, v, key), stats, frames, ncmc_frames = self._iteration(
+            (s.positions, s.velocities), s.rng_key, s.box
+        )
         self.state = SimState(x, v, s.box, key)
         self.iteration_count += 1
-        return stats, frames
+        return stats, frames, ncmc_frames
 
     def run(self, n_iter: Optional[int] = None, reporters=()):
         """Run the full loop, mirroring BLUESSimulation.run
@@ -276,13 +310,13 @@ class BLUESSimulation:
         n_accept = 0.0
         n_total = 0.0
         for it in range(n_iter):
-            stats, frames = self.run_iteration()
+            stats, frames, ncmc_frames = self.run_iteration()
             acc = np.asarray(stats.accepted)
             n_accept += float(acc.sum())
             n_total += float(acc.size)
             self.stats_history.append(jax.tree.map(np.asarray, stats))
             for rep in reporters:
-                rep.report(self, it, stats, frames)
+                rep.report(self, it, stats, frames, ncmc_frames)
         ratio = n_accept / max(n_total, 1.0)
         logger.info("Acceptance Ratio: %s", ratio)
         logger.info("nIter: %s", n_iter)

@@ -130,3 +130,22 @@ def charged_ethylene():
         ]
     )
     return system, positions
+
+
+def t4_scale_toluene_box(n_atoms: int = 22340, seed: int = 0):
+    """Toluene in TIP3P water at the T4-lysozyme/toluene benchmark scale
+    (22,340 atoms, reference: blues/tests/data/eqToluene.inpcrd:2; the
+    reference prmtop itself is a missing large blob, so the benchmark
+    system is constructed programmatically at the same atom count, with
+    the same ligand, water model, and force-field terms).
+
+    Returns (System, positions) with the toluene marked alchemical.
+    """
+    from .core.build import solvated_ligand_box
+    from .core.system import AlchemicalRegion
+    from .ligands import toluene_system
+
+    lig, lig_x = toluene_system()
+    system, x = solvated_ligand_box(lig, lig_x, n_atoms, seed=seed)
+    lig_idx = system.topology.select_resname("LIG")
+    return system.replace(alchemical=AlchemicalRegion(atoms=lig_idx)), x

@@ -102,7 +102,9 @@ def parse_quantity(value, default_unit: str | None = None) -> float:
         raise TypeError(f"cannot parse quantity from {type(value)}")
 
     s = value.strip()
-    # normalize '1/picosecond' and '1 / picosecond' forms
+    # normalize '1 * 1/picoseconds' (reference friction format,
+    # examples/rotmove_cuda.yml:54) to '1 / picoseconds'
+    s = re.sub(r"\*\s*1\s*/", "/", s)
     m = re.match(r"^([-+0-9.eE]+)\s*([*/])\s*([A-Za-z_/]+)$", s)
     if m is None:
         # bare number as a string

@@ -58,7 +58,7 @@ def test_ethylene_two_state_populations():
 
     frames = []
     for _ in range(N_ITER):
-        _, fr = sim.run_iteration()
+        _, fr, _ = sim.run_iteration()
         frames.append(np.asarray(fr))  # (R, n_chunks, N, 3)
     frames = np.concatenate(frames, axis=1)  # (R, T, N, 3)
 

@@ -1,0 +1,196 @@
+"""Per-move unit tests, mirroring the reference's move test strategy
+(tests/test_randomrotation.py, test_sidechain.py, test_watertranslation.py).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blues_tpu.core.amber_coords import load_inpcrd
+from blues_tpu.core.prmtop import load_prmtop
+from blues_tpu.moves import (
+    CombinationMove,
+    MolDartMove,
+    MoveEngine,
+    NullMove,
+    RandomLigandRotationMove,
+    SideChainMove,
+    SmartDartMove,
+    WaterTranslationMove,
+)
+from blues_tpu.moves.sidechain import find_rotatable_bonds
+from blues_tpu.testsystems import charged_ethylene
+
+DATA = "/root/reference/blues/tests/data"
+needs_data = pytest.mark.skipif(not os.path.isdir(DATA), reason="no reference data")
+
+
+@pytest.fixture(scope="module")
+def tol():
+    system = load_prmtop(f"{DATA}/TOL-parm.prmtop")
+    crd = load_inpcrd(f"{DATA}/TOL-parm.inpcrd")
+    return system, crd
+
+
+def test_rotation_moves_all_ligand_atoms():
+    """Rotation changes every ligand coordinate, nothing else
+    (reference: tests/test_randomrotation.py:52-61)."""
+    system, x = charged_ethylene()
+    lig = system.topology.select_resname("LIG")
+    move = RandomLigandRotationMove(lig, system.masses)
+    xj = jnp.asarray(x, jnp.float32)
+    xn, _ = move.propose(jax.random.PRNGKey(3134), xj, None, None)
+    xn = np.asarray(xn)
+    assert not np.allclose(xn[lig], x[lig], atol=1e-6)
+    assert np.allclose(np.delete(xn, lig, 0), np.delete(x, lig, 0))
+    # rigid rotation: internal distances and COM preserved
+    m = system.masses[lig][:, None]
+    com0 = (x[lig] * m).sum(0) / m.sum()
+    com1 = (xn[lig] * m).sum(0) / m.sum()
+    assert np.allclose(com0, com1, atol=1e-5)
+    d0 = np.linalg.norm(x[lig][:, None] - x[lig][None], axis=-1)
+    d1 = np.linalg.norm(xn[lig][:, None] - xn[lig][None], axis=-1)
+    assert np.allclose(d0, d1, atol=1e-5)
+
+
+@needs_data
+def test_sidechain_perception_valine():
+    """Valine has exactly one chi1 rotatable bond (reference:
+    tests/test_sidechain.py:62-66)."""
+    system = load_prmtop(f"{DATA}/vacDivaline.prmtop")
+    rb = find_rotatable_bonds(system.topology, {2}, system.masses)
+    assert len(rb) == 1
+    i, j, mask = rb[0]
+    names = {system.topology.atom_names[a] for a in (i, j)}
+    assert names == {"CA", "CB"}
+    assert mask.sum() == 9  # HB + CG1/CG2 + 6 methyl hydrogens
+
+
+@needs_data
+def test_sidechain_move_rotates_only_distal(tol):
+    system = load_prmtop(f"{DATA}/vacDivaline.prmtop")
+    crd = load_inpcrd(f"{DATA}/vacDivaline.inpcrd")
+    move = SideChainMove(system.topology, {2}, system.masses)
+    xj = jnp.asarray(crd.positions, jnp.float32)
+    xn, _ = move.propose(jax.random.PRNGKey(1), xj, None, None)
+    moved = ~np.isclose(np.asarray(xn), crd.positions, atol=1e-7).all(axis=1)
+    _, _, mask = move.rot_bonds[0]
+    assert moved.sum() <= mask.sum()
+    assert set(np.where(moved)[0]) <= set(np.where(mask)[0])
+    # bond lengths along the axis preserved
+    d0 = np.linalg.norm(crd.positions[move.axis_i[0]] - crd.positions[move.axis_j[0]])
+    d1 = np.linalg.norm(np.asarray(xn)[move.axis_i[0]] - np.asarray(xn)[move.axis_j[0]])
+    assert np.isclose(d0, d1, atol=1e-6)
+
+
+@needs_data
+def test_water_translation_phases(tol):
+    """before swaps positions+velocities; propose stays in radius; after
+    vetoes when outside (reference: tests/test_watertranslation.py)."""
+    system, crd = tol
+    lig = system.topology.select_resname("LIG")
+    move = WaterTranslationMove(system.topology, system.masses, lig, radius=0.7)
+    x = jnp.asarray(crd.positions, jnp.float32)
+    v = jnp.asarray(np.random.default_rng(0).normal(size=x.shape), jnp.float32)
+    box = jnp.asarray(crd.box, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    xb, vb, aux = move.before(key, x, v, box)
+    assert bool(aux["swapped"])
+    alch = move.alch_water
+    assert not np.allclose(np.asarray(xb)[alch], np.asarray(x)[alch])
+    # swap: velocities moved with the water
+    assert not np.allclose(np.asarray(vb)[alch], np.asarray(v)[alch])
+    # total coordinate multiset preserved (pure swap)
+    assert np.isclose(np.asarray(xb).sum(), np.asarray(x).sum(), atol=1e-3)
+
+    xp, aux = move.propose(jax.random.PRNGKey(6), xb, box, aux)
+    com = np.asarray(move._com(xp))
+    d = np.linalg.norm(np.asarray(xp)[alch[0]] - com)
+    assert d <= 0.7 + 1e-5
+    assert not bool(move.after(jax.random.PRNGKey(7), xp, box, aux))
+    # force the water far away -> veto (diagonal shift of ~1.73 nm can't
+    # wrap back inside the 0.7 nm sphere in the 2.18 nm box)
+    x_out = xp.at[jnp.asarray(alch)].add(jnp.asarray([1.0, 1.0, 1.0]))
+    assert bool(move.after(jax.random.PRNGKey(8), x_out, box, aux))
+
+
+def test_smart_dart_jumps_between_centers():
+    # synthetic receptor (3 fixed basis atoms) + 4-atom ligand, two poses
+    rng = np.random.default_rng(0)
+    basis_xyz = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    lig0 = np.array([[0.5, 0.5, 0.5]]) + 0.05 * rng.normal(size=(4, 3))
+    pose1 = np.concatenate([basis_xyz, lig0])
+    pose2 = np.concatenate([basis_xyz, lig0 + [0.5, 0.0, 0.0]])
+    lig = np.arange(3, 7)
+    masses = np.ones(7)
+    move = SmartDartMove.from_coordinates(
+        lig, masses, basis_particles=[0, 1, 2], coordinate_sets=[pose1, pose2],
+        dart_radius=0.15,
+    )
+    xn, _ = move.propose(jax.random.PRNGKey(0), jnp.asarray(pose1, jnp.float32), None, None)
+    shift = np.asarray(xn)[lig] - pose1[lig]
+    assert np.allclose(shift, [0.5, 0.0, 0.0], atol=1e-4), shift
+    # and back: starting from pose2 jumps to pose1
+    xb, _ = move.propose(jax.random.PRNGKey(1), jnp.asarray(pose2, jnp.float32), None, None)
+    assert np.allclose(np.asarray(xb)[lig] - pose2[lig], [-0.5, 0.0, 0.0], atol=1e-4)
+    # outside every dart -> no move
+    x_off = np.array(pose1)
+    x_off[lig] += 10.0
+    xn2, _ = move.propose(jax.random.PRNGKey(0), jnp.asarray(x_off, jnp.float32), None, None)
+    assert np.allclose(np.asarray(xn2), x_off, atol=1e-5)
+
+
+def test_mol_dart_preserves_deviation():
+    system, x = charged_ethylene()
+    lig = system.topology.select_resname("LIG")
+    pose1 = x[lig]
+    pose2 = x[lig] + np.array([0.4, 0.0, 0.0])
+    move = MolDartMove(lig, np.stack([pose1, pose2]), dart_radius=0.1)
+    rng = np.random.default_rng(1)
+    x_dev = np.array(x)
+    dev = 0.01 * rng.normal(size=(len(lig), 3))
+    x_dev[lig] += dev
+    xn, _ = move.propose(jax.random.PRNGKey(0), jnp.asarray(x_dev, jnp.float32), None, None)
+    new_dev = np.asarray(xn)[lig] - pose2
+    assert np.allclose(new_dev, dev, atol=1e-5)
+
+
+def test_combination_move_runs():
+    system, x = charged_ethylene()
+    lig = system.topology.select_resname("LIG")
+    move = CombinationMove([RandomLigandRotationMove(lig, system.masses), NullMove()])
+    xj = jnp.asarray(x, jnp.float32)
+    xn, _ = jax.jit(lambda k, x: move.propose(k, x, None, move.init_aux()))(
+        jax.random.PRNGKey(2), xj
+    )
+    assert not np.allclose(np.asarray(xn)[lig], x[lig])
+
+
+def test_move_engine_multi_move_switch():
+    system, x = charged_ethylene()
+    lig = system.topology.select_resname("LIG")
+    eng = MoveEngine(
+        [RandomLigandRotationMove(lig, system.masses), NullMove()], [0.5, 0.5]
+    )
+    xj = jnp.asarray(x, jnp.float32)
+    v = jnp.zeros_like(xj)
+
+    @jax.jit
+    def run(key):
+        k1, k2 = jax.random.split(key)
+        xb, vb, aux = eng.before(k1, xj, v, None)
+        xn, aux = eng.propose(k2, xb, None, aux)
+        return xn, aux["selected"]
+
+    moved = []
+    for s in range(20):
+        xn, sel = run(jax.random.PRNGKey(s))
+        did_move = not np.allclose(np.asarray(xn)[lig], x[lig])
+        moved.append((int(sel), did_move))
+    # selected null => identical; selected rotation => moved
+    for sel, did in moved:
+        assert did == (sel == 0), moved
+    assert any(s == 0 for s, _ in moved) and any(s == 1 for s, _ in moved)
