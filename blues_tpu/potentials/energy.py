@@ -67,6 +67,7 @@ def make_energy_fn(
             box_for_pme=system.box,
             use_pallas=bool(use_pallas),
             backend=nonbonded_backend,
+            masses=system.masses,
         )
         terms.append(lambda x, box, g: nb_fn(x, box, g))
 

@@ -145,6 +145,7 @@ def make_nonbonded_energy(
     box_for_pme=None,
     use_pallas: bool = False,
     backend: str = "auto",
+    masses=None,
 ):
     """Build fn(positions, box, globals) -> energy for the full nonbonded term.
 
@@ -175,6 +176,7 @@ def make_nonbonded_energy(
             pme_params=pme_params,
             box_for_pme=box_for_pme,
             backend=backend,
+            masses=masses,
         )
     charges = np.asarray(nb.charge, np.float64)
     sigmas = np.asarray(nb.sigma, np.float64)
@@ -367,6 +369,7 @@ def _make_pair_backend_energy(
     pme_params: Optional[PMEParams],
     box_for_pme,
     backend: str,
+    masses=None,
 ):
     """Large-system nonbonded energy: tiled/pallas pair sum + corrections.
 
@@ -402,7 +405,18 @@ def _make_pair_backend_energy(
     else:
         k_rf, c_rf = 0.0, 0.0
 
-    feats = build_pair_features(charges, nb.sigma, nb.epsilon, is_alch)
+    # active-row compaction: with frozen atoms (freeze_radius production
+    # protocol) only mobile-or-alchemical rows are computed; frozen-frozen
+    # pair energy is a constant offset that cancels in all NCMC/Metropolis
+    # differences (see PairFeatures docstring)
+    active_rows = None
+    in_rows_np = np.ones(n, bool)
+    if masses is not None:
+        m = np.asarray(masses)
+        if (m <= 0).any():
+            in_rows_np = (m > 0) | is_alch
+            active_rows = np.where(in_rows_np)[0].astype(np.int32)
+    feats = build_pair_features(charges, nb.sigma, nb.epsilon, is_alch, active_rows)
     periodic = method in (PME, CUTOFF_PERIODIC)
     common = dict(
         method=method,
@@ -442,6 +456,8 @@ def _make_pair_backend_energy(
         x_qq_aa = q_alch_np[excl[:, 0]] * q_alch_np[excl[:, 1]]
         ai, aj = is_alch[excl[:, 0]], is_alch[excl[:, 1]]
         x_scale = (ai ^ aj) | ((ai & aj) & sc.annihilate_sterics)
+        # subtract only pairs the row-compacted sum actually included
+        x_included = in_rows_np[excl[:, 0]] | in_rows_np[excl[:, 1]]
 
     def energy(positions, box=None, globals_=None):
         dtype = positions.dtype
@@ -480,6 +496,7 @@ def _make_pair_backend_energy(
             )
             if use_cutoff:
                 e_x = jnp.where(r2 < cutoff * cutoff, e_x, 0.0)
+            e_x = jnp.where(jnp.asarray(x_included), e_x, 0.0)
             e_total = e_total - jnp.sum(e_x)
 
         # exceptions (1-4): own params, bare-Coulomb kernel, lambda rules
@@ -505,7 +522,11 @@ def _make_pair_backend_energy(
             )
             el_e = ke * qq_e / re
             el_e = jnp.where(s_elec, lam_e * el_e, el_e)
-            e_total = e_total + jnp.sum(lj_e + el_e)
+            # frozen-frozen exceptions are constants, dropped like their pairs
+            exc_included = in_rows_np[exc_idx[:, 0]] | in_rows_np[exc_idx[:, 1]]
+            e_total = e_total + jnp.sum(
+                jnp.where(jnp.asarray(exc_included), lj_e + el_e, 0.0)
+            )
 
         if method == PME:
             if exact and alchemical is not None:

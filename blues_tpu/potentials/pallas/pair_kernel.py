@@ -9,12 +9,19 @@ from HBM and no O(N^2) intermediate ever exists. The per-pair math is the
 shared `potentials.pairs` formulas — identical to the dense/tiled jnp
 backends, which serve as its correctness references.
 
-Layout: atoms live in (8, Np) transposed arrays (8 = f32 sublane tile);
-coordinates in rows 0-2 of `xt`, static features in rows 0-4 of `feats`
-(q_std, q_alch, sigma, epsilon, alch_flag). Outputs are (8, Np): force in
-rows 0-2, per-atom half-energy in row 3. The j grid dimension is innermost,
-so the row-tile output block stays resident while all column tiles
-accumulate into it.
+Active-row compaction: with frozen atoms (the reference's freeze_radius
+production protocol, examples/rotmove_cuda.yml:42-45) only mobile-or-
+alchemical rows are computed against all columns — an ~Nr/N reduction of
+the pair count; see PairFeatures in potentials/tiled.py for the energy
+bookkeeping (row-row pairs weighted 0.5, row-frozen 1.0).
+
+Layout: atoms live in (8, Np) transposed arrays (8 = f32 sublane tile).
+Column features: rows 0-4 = q_std, q_alch, sigma, epsilon, in_rows.
+Row features: same 0-3 plus row 4 = alch flag of the row atom... (see
+builders below). Coordinates travel in separate (8, Np)/(8, Nr) arrays
+(rows 0-2). Outputs are (8, Nr): force rows 0-2, per-row weighted energy
+row 3. The j grid dimension is innermost so the row-tile output block stays
+resident while all column tiles accumulate into it.
 """
 
 from __future__ import annotations
@@ -31,13 +38,17 @@ from ..tiled import PairFeatures
 
 TILE = 256
 
+# feature-row indices (column array)
+F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH, F_INROWS = 0, 1, 2, 3, 4, 5
+# extra rows in the row-side feature array
+R_GID, R_VALID = 5, 6
+
 
 def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, periodic, n_atoms):
     use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
 
     def kernel(params_ref, xi_ref, xj_ref, fi_ref, fj_ref, out_ref):
         j = pl.program_id(1)
-        i = pl.program_id(0)
 
         lam_s = params_ref[0, 0]
         f_na = params_ref[0, 1]
@@ -56,21 +67,23 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
             dxs.append(dx)
             r2 = r2 + dx * dx
 
-        ri = i * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-        cj = j * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-        valid = (ri != cj) & (ri < n_atoms) & (cj < n_atoms)
+        gid_i = fi_ref[R_GID, :][:, None]  # global atom id of the row (f32)
+        cj = (j * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)).astype(
+            jnp.float32
+        )
+        valid = (gid_i != cj) & (fi_ref[R_VALID, :][:, None] > 0) & (cj < n_atoms)
         if use_cutoff:
             valid = valid & (r2 < cutoff * cutoff)
         r2 = jnp.maximum(r2, 1e-6)
 
-        qs_i = fi_ref[0, :][:, None]
-        qs_j = fj_ref[0, :][None, :]
-        qa_i = fi_ref[1, :][:, None]
-        qa_j = fj_ref[1, :][None, :]
-        sij = 0.5 * (fi_ref[2, :][:, None] + fj_ref[2, :][None, :])
-        eij = jnp.sqrt(fi_ref[3, :][:, None] * fj_ref[3, :][None, :])
-        ai = fi_ref[4, :][:, None]
-        aj = fj_ref[4, :][None, :]
+        qs_i = fi_ref[F_QSTD, :][:, None]
+        qs_j = fj_ref[F_QSTD, :][None, :]
+        qa_i = fi_ref[F_QALCH, :][:, None]
+        qa_j = fj_ref[F_QALCH, :][None, :]
+        sij = 0.5 * (fi_ref[F_SIG, :][:, None] + fj_ref[F_SIG, :][None, :])
+        eij = jnp.sqrt(fi_ref[F_EPS, :][:, None] * fj_ref[F_EPS, :][None, :])
+        ai = fi_ref[F_ALCH, :][:, None]
+        aj = fj_ref[F_ALCH, :][None, :]
         aa = ai * aj
         na = ai + aj - 2.0 * aa
         scale_ster = na + ann * aa
@@ -94,6 +107,8 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
         )
         e = jnp.where(valid, e, 0.0)
         g = jnp.where(valid, g, 0.0)
+        # row-row pairs counted from both sides -> weight 0.5
+        wcol = 1.0 - 0.5 * fj_ref[F_INROWS, :][None, :]
 
         @pl.when(j == 0)
         def _():
@@ -101,7 +116,7 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
 
         for d in range(3):
             out_ref[d, :] += -jnp.sum(g * dxs[d], axis=1)
-        out_ref[3, :] += 0.5 * jnp.sum(e, axis=1)
+        out_ref[3, :] += jnp.sum(wcol * e, axis=1)
 
     return kernel
 
@@ -126,17 +141,31 @@ def make_pallas_pair_sum(
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     n, npad = feats.n_atoms, feats.n_padded
-    n_tiles = npad // TILE
+    nr, nr_pad = feats.n_rows, feats.n_rows_padded
+    n_col_tiles = npad // TILE
+    n_row_tiles = nr_pad // TILE
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    feat_static = np.zeros((8, npad), np.float32)
-    feat_static[0] = feats.q_std
-    feat_static[1] = feats.q_alch
-    feat_static[2] = feats.sigma
-    feat_static[3] = feats.epsilon
-    feat_static[4] = feats.alch
-    feat_static = jnp.asarray(feat_static)
+    # column features
+    feat_cols = np.zeros((8, npad), np.float32)
+    feat_cols[F_QSTD] = feats.q_std
+    feat_cols[F_QALCH] = feats.q_alch
+    feat_cols[F_SIG] = feats.sigma
+    feat_cols[F_EPS] = feats.epsilon
+    feat_cols[F_ALCH] = feats.alch
+    feat_cols[F_INROWS] = feats.in_rows
+    # row features: compacted + global id + validity
+    rows = np.asarray(feats.row_idx)
+    feat_rows = np.zeros((8, nr_pad), np.float32)
+    for k in (F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH):
+        feat_rows[k] = feat_cols[k][rows]
+    feat_rows[R_GID] = rows.astype(np.float32)
+    feat_rows[R_VALID] = (np.arange(nr_pad) < nr).astype(np.float32)
+    feat_cols = jnp.asarray(feat_cols)
+    feat_rows = jnp.asarray(feat_rows)
+    row_idx = jnp.asarray(rows)
+    row_live = jnp.asarray((np.arange(nr_pad) < nr)[:, None].astype(np.float32))
 
     kernel = _make_kernel(
         method, cutoff, alpha_ewald, k_rf, c_rf,
@@ -147,7 +176,7 @@ def make_pallas_pair_sum(
     pad_tail = 1e3 * (1.0 + np.arange(npad - n, dtype=np.float32))
 
     grid_spec = pl.GridSpec(
-        grid=(n_tiles, n_tiles),
+        grid=(n_row_tiles, n_col_tiles),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -160,15 +189,16 @@ def make_pallas_pair_sum(
 
     flops_per_pair = 60
     cost = pl.CostEstimate(
-        flops=flops_per_pair * npad * npad,
-        bytes_accessed=4 * (8 * npad) * (2 * n_tiles + 1),
-        transcendentals=2 * npad * npad,
+        flops=flops_per_pair * nr_pad * npad,
+        bytes_accessed=4 * (8 * npad) * (2 * n_row_tiles + 1),
+        transcendentals=2 * nr_pad * npad,
     )
 
     def _pass(x, box, lam_s, f_na, f_aa):
         xt = jnp.zeros((8, npad), jnp.float32)
         xt = xt.at[0:3, :n].set(x.T.astype(jnp.float32))
         xt = xt.at[0:3, n:].set(jnp.asarray(pad_tail)[None, :])
+        xr = xt[:, row_idx]  # (8, Nr_pad) row-compacted coordinates
         blen = jnp.diagonal(box).astype(jnp.float32) if box is not None else jnp.ones(3, jnp.float32)
         params = jnp.zeros((1, 8), jnp.float32)
         params = params.at[0, 0].set(jnp.asarray(lam_s, jnp.float32))
@@ -179,12 +209,18 @@ def make_pallas_pair_sum(
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((8, nr_pad), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
-        )(params, xt, xt, feat_static, feat_static)
-        f = out[0:3, :n].T.astype(x.dtype)
-        e = jnp.sum(out[3, :n]).astype(x.dtype)
+        )(params, xr, xt, feat_rows, feat_cols)
+        f_rows = out[0:3].T * row_live  # (Nr_pad, 3)
+        f = (
+            jnp.zeros((npad, 3), jnp.float32)
+            .at[row_idx]
+            .add(f_rows)[:n]
+            .astype(x.dtype)
+        )
+        e = jnp.sum(out[3, :]).astype(x.dtype)
         return e, f
 
     @jax.custom_vjp

@@ -29,28 +29,54 @@ TILE = 256
 
 class PairFeatures(NamedTuple):
     """Static per-atom feature arrays for the pair backends (padded to a
-    multiple of TILE)."""
+    multiple of TILE).
+
+    ``active_rows``: when some atoms are frozen (zero mass, the reference's
+    freeze_radius production protocol, examples/rotmove_cuda.yml:42-45),
+    only rows for mobile-or-alchemical atoms are computed. Frozen-frozen
+    pair energies are constants that cancel in every NCMC work difference,
+    the Metropolis delta, and the alchemical correction, so dropping them
+    changes reported absolute PE by a constant only. Row-row pairs weigh
+    0.5 (counted from both sides), row-frozen pairs weigh 1.0."""
 
     q_std: np.ndarray  # (Np,) non-alchemical charges (alch zeroed)
     q_alch: np.ndarray  # (Np,) alchemical charges (others zeroed)
     sigma: np.ndarray  # (Np,)
     epsilon: np.ndarray  # (Np,)
     alch: np.ndarray  # (Np,) 0/1
+    in_rows: np.ndarray  # (Np,) 0/1 - atom is an active row
+    row_idx: np.ndarray  # (Nr_pad,) global indices of active rows
+    n_rows: int
+    n_rows_padded: int
     n_atoms: int
     n_padded: int
 
 
-def build_pair_features(charge, sigma, epsilon, alch_mask) -> PairFeatures:
+def build_pair_features(charge, sigma, epsilon, alch_mask, active_rows=None) -> PairFeatures:
     n = len(charge)
     npad = ((n + TILE - 1) // TILE) * TILE
     pad = lambda a: np.pad(np.asarray(a, np.float64), (0, npad - n))
     a = np.asarray(alch_mask, np.float64)
+    if active_rows is None:
+        rows = np.arange(n, dtype=np.int32)
+        in_rows = np.ones(n)
+    else:
+        rows = np.asarray(active_rows, np.int32)
+        in_rows = np.zeros(n)
+        in_rows[rows] = 1.0
+    nr = len(rows)
+    nr_pad = ((nr + TILE - 1) // TILE) * TILE
+    rows_p = np.pad(rows, (0, nr_pad - nr))  # pad with atom 0; masked by n_rows
     return PairFeatures(
         q_std=pad(charge * (1.0 - a)),
         q_alch=pad(charge * a),
         sigma=pad(sigma),
         epsilon=pad(epsilon),
         alch=pad(a),
+        in_rows=pad(in_rows),
+        row_idx=rows_p,
+        n_rows=nr,
+        n_rows_padded=nr_pad,
         n_atoms=n,
         n_padded=npad,
     )
@@ -71,12 +97,15 @@ def make_tiled_pair_sum(
     """Returns pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) with custom VJP
     on the energy (F reused as the pullback)."""
     n, npad = feats.n_atoms, feats.n_padded
-    n_tiles = npad // TILE
+    nr, nr_pad = feats.n_rows, feats.n_rows_padded
+    n_row_tiles = nr_pad // TILE
+    row_idx = jnp.asarray(feats.row_idx)
     qs = jnp.asarray(feats.q_std, jnp.float32)
     qa = jnp.asarray(feats.q_alch, jnp.float32)
     sig = jnp.asarray(feats.sigma, jnp.float32)
     eps = jnp.asarray(feats.epsilon, jnp.float32)
     af = jnp.asarray(feats.alch, jnp.float32)
+    inr = jnp.asarray(feats.in_rows, jnp.float32)
     ann = 1.0 if annihilate_sterics else 0.0
     use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
 
@@ -90,22 +119,26 @@ def make_tiled_pair_sum(
         blen = jnp.diagonal(box).astype(dtype) if box is not None else None
 
         col_idx = jnp.arange(npad)
+        # row-compacted per-atom arrays (global order when no freezing)
+        xr = xp[row_idx]  # (Nr_pad, 3)
+        row_global = row_idx
 
         def row_block(carry, i0):
             e_acc = carry
-            xi = jax.lax.dynamic_slice(xp, (i0, 0), (TILE, 3))
+            xi = jax.lax.dynamic_slice(xr, (i0, 0), (TILE, 3))
+            gidx = jax.lax.dynamic_slice(row_global, (i0,), (TILE,))
             dr = xi[:, None, :] - xp[None, :, :]
             if periodic and blen is not None:
                 dr = dr - blen * jnp.round(dr / blen)
             r2 = jnp.sum(dr * dr, -1)
-            row_idx = i0 + jnp.arange(TILE)
-            valid = row_idx[:, None] != col_idx[None, :]
+            local = i0 + jnp.arange(TILE)
+            valid = (gidx[:, None] != col_idx[None, :]) & (local[:, None] < nr)
             if use_cutoff:
                 valid = valid & (r2 < cutoff * cutoff)
             r2 = jnp.maximum(r2, 1e-6)
 
             def sl(a):
-                return jax.lax.dynamic_slice(a, (i0,), (TILE,))
+                return a[gidx]
 
             ai = sl(af)[:, None]
             aj = af[None, :]
@@ -126,13 +159,18 @@ def make_tiled_pair_sum(
             e = jnp.where(valid, e, 0.0)
             g = jnp.where(valid, g, 0.0)
             f_i = -jnp.einsum("ij,ijd->id", g, dr)
-            e_acc = e_acc + 0.5 * jnp.sum(e)
+            # row-row pairs appear from both sides (0.5); row-frozen once (1.0)
+            wcol = 1.0 - 0.5 * sl(inr)[:, None] * inr[None, :]
+            e_acc = e_acc + jnp.sum(wcol * e)
             return e_acc, f_i
 
         e_total, f_tiles = jax.lax.scan(
-            row_block, jnp.zeros((), dtype), jnp.arange(n_tiles) * TILE
+            row_block, jnp.zeros((), dtype), jnp.arange(n_row_tiles) * TILE
         )
-        f = f_tiles.reshape(npad, 3)[:n]
+        f_rows = f_tiles.reshape(nr_pad, 3)
+        f = jnp.zeros((npad, 3), dtype).at[row_global].add(
+            f_rows * (jnp.arange(nr_pad) < nr)[:, None]
+        )[:n]
         return e_total, f
 
     @jax.custom_vjp

