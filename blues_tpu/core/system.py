@@ -221,6 +221,9 @@ class System:
     box: Optional[np.ndarray] = None  # (3, 3) nm box vectors, or None (no PBC)
     alchemical: Optional[AlchemicalRegion] = None
     topology: Optional[Topology] = None
+    #: reference positions captured when atoms were frozen (enables the
+    #: constant-background PME grid optimization; set by freeze_radius)
+    frozen_ref_positions: Optional[np.ndarray] = None
 
     @property
     def n_atoms(self) -> int:
@@ -268,11 +271,15 @@ class System:
         if n_frozen == n:
             raise ValueError("freeze_radius would freeze every atom in the system")
         if n_frozen / n > 0.98:
-            raise ValueError(
-                f"freeze_radius would freeze {n_frozen}/{n} atoms (>98%); "
-                "check your selection/radius"
+            import warnings
+
+            warnings.warn(
+                f"freeze_radius freezes {n_frozen}/{n} atoms (>98%); "
+                "check your selection/radius if unintended"
             )
-        return self.zero_masses(frozen_idx)
+        return self.zero_masses(frozen_idx).replace(
+            frozen_ref_positions=np.asarray(positions).copy()
+        )
 
     def restrain_positions(self, positions, atom_indices, weight_kcal_per_A2: float = 5.0) -> "System":
         """Add harmonic positional restraints (reference:

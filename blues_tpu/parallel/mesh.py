@@ -34,12 +34,11 @@ def shard_simulation_state(sim, mesh: Mesh, axis_name: str = "replica"):
             f"n_replicas={sim.cfg.n_replicas} must divide over {mesh.devices.size} devices"
         )
     batched = NamedSharding(mesh, P(axis_name))
-    replicated = NamedSharding(mesh, P())
     s = sim.state
     sim.state = type(s)(
         positions=jax.device_put(s.positions, batched),
         velocities=jax.device_put(s.velocities, batched),
-        box=jax.device_put(s.box, replicated),
+        box=jax.device_put(s.box, batched),
         rng_key=jax.device_put(s.rng_key, batched),
     )
     return sim.state
@@ -59,7 +58,7 @@ def make_sharded_iteration(sim, mesh: Mesh, axis_name: str = "replica"):
 
     step = jax.jit(
         fn,
-        in_shardings=((batched, batched), batched, replicated),
-        out_shardings=((batched, batched, batched), batched, batched),
+        in_shardings=((batched, batched, batched), batched),
+        out_shardings=((batched, batched, batched, batched), batched, batched, batched),
     )
     return step

@@ -68,6 +68,7 @@ def make_energy_fn(
             use_pallas=bool(use_pallas),
             backend=nonbonded_backend,
             masses=system.masses,
+            frozen_ref_positions=system.frozen_ref_positions,
         )
         terms.append(lambda x, box, g: nb_fn(x, box, g))
 

@@ -146,6 +146,7 @@ def make_nonbonded_energy(
     use_pallas: bool = False,
     backend: str = "auto",
     masses=None,
+    frozen_ref_positions=None,
 ):
     """Build fn(positions, box, globals) -> energy for the full nonbonded term.
 
@@ -177,6 +178,7 @@ def make_nonbonded_energy(
             box_for_pme=box_for_pme,
             backend=backend,
             masses=masses,
+            frozen_ref_positions=frozen_ref_positions,
         )
     charges = np.asarray(nb.charge, np.float64)
     sigmas = np.asarray(nb.sigma, np.float64)
@@ -370,6 +372,7 @@ def _make_pair_backend_energy(
     box_for_pme,
     backend: str,
     masses=None,
+    frozen_ref_positions=None,
 ):
     """Large-system nonbonded energy: tiled/pallas pair sum + corrections.
 
@@ -398,8 +401,9 @@ def _make_pair_backend_energy(
         from .pme import make_pme_reciprocal
 
         recip_fn = make_pme_reciprocal(pme_params)
+        recip_fn_frozen = None
     else:
-        alpha, recip_fn = 0.0, None
+        alpha, recip_fn, recip_fn_frozen = 0.0, None, None
     if method in (CUTOFF_PERIODIC, CUTOFF_NONPERIODIC):
         k_rf, c_rf = reaction_field_constants(cutoff, rf_dielectric)
     else:
@@ -417,6 +421,30 @@ def _make_pair_backend_energy(
             in_rows_np = (m > 0) | is_alch
             active_rows = np.where(in_rows_np)[0].astype(np.int32)
     feats = build_pair_features(charges, nb.sigma, nb.epsilon, is_alch, active_rows)
+    # constant-background PME grid for frozen atoms: their spread
+    # contribution never changes (fixed positions, non-alchemical charges),
+    # so precompute it once and spread only mobile rows per evaluation.
+    # Skipped under NPT (box-dependent) -- freeze + barostat is unsupported.
+    if (
+        method == PME
+        and active_rows is not None
+        and frozen_ref_positions is not None
+    ):
+        from .pme import make_pme_reciprocal as _mk_recip, precompute_spread_grid
+
+        frozen_mask = ~in_rows_np
+        fro_idx = np.where(frozen_mask)[0]
+        # frozen atoms are never alchemical (rows include alchemical), so
+        # q_eff on frozen atoms equals raw charge under both treatments
+        base_grid = precompute_spread_grid(
+            pme_params,
+            np.asarray(frozen_ref_positions)[fro_idx],
+            charges[fro_idx],
+            np.asarray(box_for_pme),
+        )
+        recip_fn_frozen = _mk_recip(
+            pme_params, base_grid=base_grid, spread_subset=active_rows
+        )
     periodic = method in (PME, CUTOFF_PERIODIC)
     common = dict(
         method=method,
@@ -534,7 +562,8 @@ def _make_pair_backend_energy(
                 q_eff = jnp.asarray(charges, dtype) * lamq
             else:
                 q_eff = jnp.asarray(q_std_np if alchemical is not None else charges, dtype)
-            e_total = e_total + recip_fn(positions, q_eff, box)
+            rf = recip_fn_frozen if recip_fn_frozen is not None else recip_fn
+            e_total = e_total + rf(positions, q_eff, box)
             e_total = e_total - ke * alpha / math.sqrt(math.pi) * jnp.sum(q_eff * q_eff)
             vol = box[0, 0] * box[1, 1] * box[2, 2]
             qtot = jnp.sum(q_eff)

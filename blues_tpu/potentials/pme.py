@@ -76,8 +76,15 @@ def _euler_b2(K: int, order: int) -> np.ndarray:
     return b2
 
 
-def make_pme_reciprocal(params: PMEParams):
-    """Build fn(positions, charges, box) -> reciprocal-space energy."""
+def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
+    """Build fn(positions, charges, box) -> reciprocal-space energy.
+
+    base_grid/spread_subset: with frozen atoms (constant positions), their
+    charge-spread grid is precomputed once (base_grid) and only the
+    ``spread_subset`` atoms are spread at runtime — the frozen charges
+    contribute a constant to the grid, not the energy, so the full
+    reciprocal sum (including frozen-frozen k-space coupling) stays exact.
+    Requires a fixed box (NVT)."""
     Kx, Ky, Kz = params.grid
     order = params.order
     alpha = params.alpha
@@ -116,9 +123,14 @@ def make_pme_reciprocal(params: PMEParams):
         onehot = (idx[:, :, None] == cols[:, None, :]).astype(wts.dtype)
         return jnp.einsum("no,nok->nk", wts, onehot)
 
+    subset = None if spread_subset is None else jnp.asarray(spread_subset)
+
     def recip_energy(positions, charges, box):
         dtype = positions.dtype
         blen = jnp.diagonal(box)
+        if subset is not None:
+            positions = positions[subset]
+            charges = jnp.asarray(charges, dtype)[subset]
         u = positions / blen * jnp.array([Kx, Ky, Kz], dtype)
         q = jnp.asarray(charges, dtype)
         n = positions.shape[0]
@@ -137,7 +149,11 @@ def make_pme_reciprocal(params: PMEParams):
             )
             return grid + g, None
 
-        grid0 = jnp.zeros((Kx, Ky, Kz), jnp.float32)
+        grid0 = (
+            jnp.zeros((Kx, Ky, Kz), jnp.float32)
+            if base_grid is None
+            else jnp.asarray(base_grid, jnp.float32)
+        )
         grid, _ = jax.lax.scan(
             chunk_body,
             grid0,
@@ -166,3 +182,39 @@ def make_pme_reciprocal(params: PMEParams):
         return e
 
     return recip_energy
+
+
+def precompute_spread_grid(params: PMEParams, positions, charges, box):
+    """Numpy/jax one-shot spreading for a fixed subset of atoms (the frozen
+    background grid). Returns a (Kx, Ky, Kz) numpy array."""
+    import numpy as _np
+
+    fn = make_pme_reciprocal(params)
+    # reuse the traced spreading by calling the internal path: cheaper to
+    # just re-spread here with numpy for clarity
+    Kx, Ky, Kz = params.grid
+    order = params.order
+    blen = _np.diagonal(_np.asarray(box))
+    u = _np.asarray(positions) / blen * _np.array([Kx, Ky, Kz])
+    base = _np.floor(u)
+    w = u - base
+    # numpy B-spline weights
+    import jax.numpy as _jnp
+
+    wts = _np.asarray(bspline_weights(_jnp.asarray(w), order))[..., ::-1]
+    offsets_ = _np.arange(order)
+    idx = base.astype(_np.int64)[:, :, None] - (order - 1) + offsets_[None, None, :]
+    gx = _np.mod(idx[:, 0], Kx)
+    gy = _np.mod(idx[:, 1], Ky)
+    gz = _np.mod(idx[:, 2], Kz)
+    q = _np.asarray(charges)
+    grid = _np.zeros((Kx, Ky, Kz))
+    val = (
+        q[:, None, None, None]
+        * wts[:, 0, :, None, None]
+        * wts[:, 1, None, :, None]
+        * wts[:, 2, None, None, :]
+    )
+    flat = ((gx[:, :, None, None] * Ky + gy[:, None, :, None]) * Kz + gz[:, None, None, :])
+    _np.add.at(grid.reshape(-1), flat.reshape(-1), val.reshape(-1))
+    return grid.astype(_np.float32)

@@ -61,6 +61,8 @@ class SimulationConfig:
     cutoff: float = 1.0  # nm
     alchemical_pme_treatment: str = "direct-space"
     md_report_interval: Optional[int] = None  # collect MD frames every k steps
+    pressure: Optional[float] = None  # bar; None = NVT (barostat on MD only)
+    barostat_frequency: int = 25
     n_replicas: int = 1
     constraint_tolerance: float = 1e-6
     use_pallas: Optional[bool] = None
@@ -146,9 +148,20 @@ class BLUESSimulation:
         )
 
         self._kT = units.kT(config.temperature)
+        if config.pressure is not None:
+            from ..integrators.barostat import make_barostat
+
+            self._barostat = make_barostat(
+                system,
+                self.energy_md,
+                config.pressure * units.BAR_TO_KJMOL_PER_NM3,
+                config.temperature,
+            )
+        else:
+            self._barostat = None
         self._iteration = self._build_iteration()
         if config.n_replicas > 1:
-            self._iteration = jax.vmap(self._iteration, in_axes=(0, 0, None))
+            self._iteration = jax.vmap(self._iteration, in_axes=(0, 0))
         self._iteration = jax.jit(self._iteration)
 
         self.state: Optional[SimState] = None
@@ -167,8 +180,7 @@ class BLUESSimulation:
         n_md = cfg.nstepsMD
         interval = cfg.md_report_interval
 
-        def iteration(x, v, box_key):
-            box, key = box_key
+        def iteration(x, v, box, key):
             key, k_acc, k_vel = jax.random.split(key, 3)
 
             # --- NCMC stage (sync MD->NCMC is free: same pytree) -----------
@@ -190,24 +202,37 @@ class BLUESSimulation:
             v = maxwell_boltzmann_velocities(k_vel, masses, cfg.temperature, x.dtype)
             v = self._constrain[1](v, x)
 
-            # --- MD relaxation ---------------------------------------------
+            # --- MD relaxation (NVT, or NPT when pressure is set) ----------
             _, f0 = self.force_md(x, box, None)
-            if interval is None or n_md == 0:
-                carry = (x, v, f0, key, box)
-                if n_md > 0:
-                    carry, _ = jax.lax.scan(md_step, carry, None, length=n_md)
-                x, v, _, key, _ = carry
-                frames = None
+            barostat = self._barostat
+            chunk_size = interval if interval is not None else (
+                cfg.barostat_frequency if barostat is not None else max(n_md, 1)
+            )
+            n_chunks = max(n_md // max(chunk_size, 1), 0)
+
+            def chunk(carry, _):
+                x, v, f, key, box, bscale = carry
+                inner = (x, v, f, key, box)
+                inner, _ = jax.lax.scan(md_step, inner, None, length=chunk_size)
+                x, v, f, key, box = inner
+                if barostat is not None:
+                    key, bk = jax.random.split(key)
+                    from ..integrators.barostat import BarostatState
+
+                    bstate = BarostatState(bscale, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+                    x, box, bstate = barostat(x, box, bk, bstate)
+                    bscale = bstate.volume_scale
+                    _, f = self.force_md(x, box, None)
+                return (x, v, f, key, box, bscale), x
+
+            if n_md > 0 and n_chunks > 0:
+                bscale0 = 0.01 * box[0, 0] * box[1, 1] * box[2, 2]
+                carry = (x, v, f0, key, box, bscale0)
+                carry, frames_all = jax.lax.scan(chunk, carry, None, length=n_chunks)
+                x, v, _, key, box, _ = carry
+                frames = frames_all if interval is not None else None
             else:
-                n_chunks = n_md // interval
-
-                def chunk(carry, _):
-                    carry, _ = jax.lax.scan(md_step, carry, None, length=interval)
-                    return carry, carry[0]
-
-                carry = (x, v, f0, key, box)
-                carry, frames = jax.lax.scan(chunk, carry, None, length=n_chunks)
-                x, v, _, key, _ = carry
+                frames = None
 
             e_md_end = energy_md(x, box, None)
             stats = IterationStats(
@@ -223,11 +248,11 @@ class BLUESSimulation:
             # (the reference's frame_indices sentinels 1 / 0.5 / -1,
             # blues/settings.py:271-277)
             ncmc_frames = jnp.stack([x0_ncmc, res.mid_positions, res.positions])
-            return (x, v, key), stats, frames, ncmc_frames
+            return (x, v, box, key), stats, frames, ncmc_frames
 
-        def wrapped(state_x_v, keys, box):
-            x, v = state_x_v
-            return iteration(x, v, (box, keys))
+        def wrapped(state_xvb, keys):
+            x, v, box = state_xvb
+            return iteration(x, v, box, keys)
 
         return wrapped
 
@@ -249,6 +274,8 @@ class BLUESSimulation:
             keys = jax.random.split(key, R)
             if x.ndim == 2:
                 x = jnp.broadcast_to(x, (R,) + x.shape)
+            if box.ndim == 2:
+                box = jnp.broadcast_to(box, (R, 3, 3))
             if velocities is None:
                 v = jax.vmap(
                     lambda k: maxwell_boltzmann_velocities(
@@ -295,10 +322,10 @@ class BLUESSimulation:
     def run_iteration(self):
         """One MD<->NCMC iteration; returns (stats, md_frames, ncmc_frames)."""
         s = self.state
-        (x, v, key), stats, frames, ncmc_frames = self._iteration(
-            (s.positions, s.velocities), s.rng_key, s.box
+        (x, v, box, key), stats, frames, ncmc_frames = self._iteration(
+            (s.positions, s.velocities, s.box), s.rng_key
         )
-        self.state = SimState(x, v, s.box, key)
+        self.state = SimState(x, v, box, key)
         self.iteration_count += 1
         return stats, frames, ncmc_frames
 
