@@ -181,19 +181,23 @@ def load_structure(cfg: dict):
         )
 
     # freeze section (reference SystemFactory.freeze_radius,
-    # blues/simulation.py:394-480)
+    # blues/simulation.py:394-480); selections are Amber masks
+    from ..core.selection import amber_selection_to_atomidx
+
     frz = cfg.get("freeze")
     if frz and positions is not None:
-        center_sel = str(frz.get("freeze_center", ":LIG")).strip(": ")
-        center = system.topology.select_resname(center_sel)
+        center = amber_selection_to_atomidx(
+            system.topology, str(frz.get("freeze_center", ":LIG")), positions
+        )
         system = system.freeze_radius(
             positions, center, float(frz.get("freeze_distance", 0.5))
         )
     # restraints section (reference SystemFactory.restrain_positions)
     rst = cfg.get("restraints")
     if rst and positions is not None:
-        sel = str(rst.get("selection", ":LIG")).strip(": ")
-        idx = system.topology.select_resname(sel)
+        idx = amber_selection_to_atomidx(
+            system.topology, str(rst.get("selection", ":LIG")), positions
+        )
         system = system.restrain_positions(
             positions, idx, float(rst.get("weight", 5.0))
         )
