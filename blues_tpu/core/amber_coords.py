@@ -34,13 +34,18 @@ def load_inpcrd(path: str) -> AmberCoords:
     natom = int(header[0])
     t = float(header[1]) if len(header) > 1 else 0.0
 
-    values = []
-    for line in lines[2:]:
-        for i in range(0, len(line.rstrip()), 12):
-            chunk = line[i : i + 12].strip()
-            if chunk:
-                values.append(float(chunk))
-    values = np.asarray(values, np.float64)
+    from . import native
+
+    body = "\n".join(lines[2:])
+    values = native.parse_fixed_floats(body, 12)
+    if values is None:
+        vals = []
+        for line in lines[2:]:
+            for i in range(0, len(line.rstrip()), 12):
+                chunk = line[i : i + 12].strip()
+                if chunk:
+                    vals.append(float(chunk))
+        values = np.asarray(vals, np.float64)
 
     n3 = natom * 3
     pos = values[:n3].reshape(natom, 3) * 0.1
