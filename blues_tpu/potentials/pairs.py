@@ -65,28 +65,37 @@ def softcore_lj(r2, sigma, epsilon, lam_eff, alpha=0.5):
 
 
 def coulomb_erfc(r2, qq, alpha_ewald):
-    """Returns (energy, g) for ke*qq*erfc(alpha r)/r."""
-    r = jnp.sqrt(r2)
-    inv_r = 1.0 / r
-    erfc_term = erfc_approx(alpha_ewald * r)
+    """Returns (energy, g) for ke*qq*erfc(alpha r)/r.
+
+    Written around one rsqrt (hardware op) instead of sqrt + divides, and
+    the erfc exponential reused for the force's Gaussian term."""
+    inv_r = jax.lax.rsqrt(r2)
+    r = r2 * inv_r
+    x = alpha_ewald * r
+    # A&S 7.1.26 inline so exp(-x^2) is shared with the force term
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    gauss_exp = jnp.exp(-x * x)
+    erfc_term = poly * gauss_exp
     e = units.ONE_4PI_EPS0 * qq * erfc_term * inv_r
-    gauss = (2.0 * alpha_ewald / SQRT_PI) * jnp.exp(-(alpha_ewald * alpha_ewald) * r2)
-    g = -units.ONE_4PI_EPS0 * qq * (erfc_term * inv_r + gauss) * inv_r * inv_r
+    g = -(e + units.ONE_4PI_EPS0 * qq * (2.0 * alpha_ewald / SQRT_PI) * gauss_exp) * inv_r * inv_r
     return e, g
 
 
 def coulomb_rf(r2, qq, k_rf, c_rf):
     """Reaction field: ke*qq*(1/r + k_rf r^2 - c_rf)."""
-    r = jnp.sqrt(r2)
-    inv_r = 1.0 / r
+    inv_r = jax.lax.rsqrt(r2)
+    r = r2 * inv_r
     e = units.ONE_4PI_EPS0 * qq * (inv_r + k_rf * r2 - c_rf)
     g = units.ONE_4PI_EPS0 * qq * (-inv_r * inv_r * inv_r + 2.0 * k_rf)
     return e, g
 
 
 def coulomb_plain(r2, qq):
-    r = jnp.sqrt(r2)
-    inv_r = 1.0 / r
+    inv_r = jax.lax.rsqrt(r2)
     e = units.ONE_4PI_EPS0 * qq * inv_r
     g = -e * inv_r * inv_r
     return e, g

@@ -99,3 +99,30 @@ def test_frozen_rows_equivalence(tol_system):
     d_full = float(full(x2, box, lam)) - float(full(x, box, lam))
     d_froz = float(froz(x2, box, lam)) - float(froz(x, box, lam))
     assert abs(d_full - d_froz) < 1e-3 * abs(d_full) + 16.0
+
+
+@pytest.mark.parametrize("kind", ["erfc", "rf", "plain", "softcore"])
+def test_pair_force_factors_match_fd(kind):
+    """The analytic radial force factors g = (dU/dr)/r in potentials.pairs
+    must match finite differences of the pair energies — guards the custom
+    VJP force path at the formula level (clash-dominated whole-system
+    comparisons can mask electrostatic force errors)."""
+    from blues_tpu.potentials import pairs
+
+    h = 1e-5
+    for r in (0.2, 0.45, 0.8):
+        if kind == "erfc":
+            fn = lambda rr: pairs.coulomb_erfc(jnp.asarray(rr * rr), 0.7, 2.92)
+        elif kind == "rf":
+            fn = lambda rr: pairs.coulomb_rf(jnp.asarray(rr * rr), 0.7, 0.63, 1.63)
+        elif kind == "plain":
+            fn = lambda rr: pairs.coulomb_plain(jnp.asarray(rr * rr), 0.7)
+        else:
+            fn = lambda rr: pairs.softcore_lj(
+                jnp.asarray(rr * rr), 0.31, 0.6, 0.5
+            )
+        e, g = fn(r)
+        ep, _ = fn(r + h)
+        em, _ = fn(r - h)
+        fd = (float(ep) - float(em)) / (2 * h) / r
+        assert abs(float(g) - fd) < 5e-3 * max(abs(fd), 1.0), (kind, r, float(g), fd)

@@ -154,3 +154,25 @@ def test_rotation_move_runs(ethylene):
     sim.run(5)
     works = np.array([s.protocol_work for s in sim.stats_history])
     assert np.all(np.isfinite(works))
+
+
+def test_nan_work_forces_rejection(ethylene):
+    """Failure-detection parity (SURVEY.md 5.2-5.3): a NaN protocol work
+    must reject the iteration rather than corrupt or kill the run (the
+    reference checks isnan(work) before applying the correction,
+    blues/simulation.py:1134)."""
+    import blues_tpu.moves.base as mb
+
+    class PoisonMove(mb.Move):
+        def propose(self, key, x, box, aux):
+            return x * jnp.nan, aux
+
+    system, x = charged_ethylene()
+    cfg = SimulationConfig(nIter=2, nstepsNC=10, nstepsMD=10, temperature=200.0,
+                           dt=0.001, moveStep=5)
+    sim = BLUESSimulation(system, PoisonMove(), cfg)
+    sim.initialize(x, key=jax.random.PRNGKey(0))
+    stats, _, _ = sim.run_iteration()
+    assert not bool(stats.accepted)
+    # the MD state survived: positions finite (rejection restored them)
+    assert bool(jnp.isfinite(sim.state.positions).all())
