@@ -122,6 +122,38 @@ def coulomb_kernel(r, method: str, cutoff: float, alpha: float, k_rf: float, c_r
     return 1.0 / r
 
 
+def dispersion_correction_coeff(sigma, epsilon, cutoff: float) -> float:
+    """Isotropic long-range LJ correction coefficient (OpenMM-style):
+    E_corr = coeff / V with
+    coeff = 2 pi N^2 [ <4 eps sig^12>/(9 rc^9) - <4 eps sig^6>/(3 rc^3) ]
+    averaged over all particle pairs via per-type means (Lorentz-Berthelot
+    approximated by the mean of per-atom combined terms, the standard
+    homogeneous-fluid approximation). The reference *disables* it on the
+    alchemical system (disable_alchemical_dispersion_correction=True,
+    blues/simulation.py:229) but keeps it on the MD system."""
+    sigma = np.asarray(sigma, np.float64)
+    epsilon = np.asarray(epsilon, np.float64)
+    n = len(sigma)
+    # mean combined c6/c12 via pairwise averages of sig, sqrt(eps)
+    sig_mean_6 = np.mean((0.5 * (sigma[:, None] + sigma[None, :])) ** 6 *
+                         np.sqrt(epsilon[:, None] * epsilon[None, :])) if n <= 2048 else None
+    if sig_mean_6 is None:
+        # sampled estimate for big systems (error << the correction itself)
+        rng = np.random.default_rng(0)
+        ii = rng.integers(0, n, 200000)
+        jj = rng.integers(0, n, 200000)
+        sij = 0.5 * (sigma[ii] + sigma[jj])
+        eij = np.sqrt(epsilon[ii] * epsilon[jj])
+        c6 = np.mean(4.0 * eij * sij**6)
+        c12 = np.mean(4.0 * eij * sij**12)
+    else:
+        sij = 0.5 * (sigma[:, None] + sigma[None, :])
+        eij = np.sqrt(epsilon[:, None] * epsilon[None, :])
+        c6 = np.mean(4.0 * eij * sij**6)
+        c12 = np.mean(4.0 * eij * sij**12)
+    return 2.0 * math.pi * n * n * (c12 / (9.0 * cutoff**9) - c6 / (3.0 * cutoff**3))
+
+
 def reaction_field_constants(cutoff: float, dielectric: float = 78.3):
     """OpenMM CutoffPeriodic reaction-field constants."""
     k_rf = (1.0 / cutoff**3) * (dielectric - 1.0) / (2.0 * dielectric + 1.0)
@@ -248,6 +280,12 @@ def make_nonbonded_energy(
     else:
         recip_fn = None
 
+    disp_coeff = (
+        dispersion_correction_coeff(nb.sigma, nb.epsilon, cutoff)
+        if (method in (PME, CUTOFF_PERIODIC) and alchemical is None)
+        else 0.0
+    )
+
     def energy(positions, box=None, globals_=None):
         dtype = positions.dtype
         g = globals_ or {}
@@ -353,6 +391,9 @@ def make_nonbonded_energy(
                 rx = distance(drx)
                 qq_x = q_eff[excl[:, 0]] * q_eff[excl[:, 1]]
                 e_total = e_total - jnp.sum(ke * qq_x * jax.lax.erf(alpha * rx) / rx)
+        if disp_coeff:
+            vol = box[0, 0] * box[1, 1] * box[2, 2]
+            e_total = e_total + disp_coeff / vol
         return e_total
 
     energy.pme_params = pme_params
@@ -420,6 +461,13 @@ def _make_pair_backend_energy(
         if (m <= 0).any():
             in_rows_np = (m > 0) | is_alch
             active_rows = np.where(in_rows_np)[0].astype(np.int32)
+    # isotropic dispersion correction (MD potential only; the reference
+    # disables it for the alchemical system, blues/simulation.py:229)
+    disp_coeff = (
+        dispersion_correction_coeff(nb.sigma, nb.epsilon, cutoff)
+        if (method in (PME, CUTOFF_PERIODIC) and alchemical is None)
+        else 0.0
+    )
     feats = build_pair_features(charges, nb.sigma, nb.epsilon, is_alch, active_rows)
     # constant-background PME grid for frozen atoms: their spread
     # contribution never changes (fixed positions, non-alchemical charges),
@@ -574,6 +622,9 @@ def _make_pair_backend_energy(
                 rx = distance(drx)
                 qq_x = q_eff[excl[:, 0]] * q_eff[excl[:, 1]]
                 e_total = e_total - jnp.sum(ke * qq_x * jax.lax.erf(alpha * rx) / rx)
+        if disp_coeff:
+            vol = box[0, 0] * box[1, 1] * box[2, 2]
+            e_total = e_total + disp_coeff / vol
         return e_total
 
     energy.pme_params = pme_params

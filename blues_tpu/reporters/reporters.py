@@ -74,8 +74,10 @@ class StateDataReporter(BaseReporter):
         potentialEnergy: bool = True,
         temperature: bool = False,
         log: logging.Logger | None = None,
+        source: str = "md",
     ):
         add_report_level()
+        self.source = source
         self.title = title
         self.interval = max(int(reportInterval), 1)
         self.total_steps = totalSteps
@@ -91,7 +93,14 @@ class StateDataReporter(BaseReporter):
         self._header_done = False
 
     def report(self, sim, iteration, stats, md_frames, ncmc_frames):
-        steps_per_iter = sim.cfg.nstepsMD + getattr(sim, "propSteps", 0)
+        # step accounting follows the attached simulation, like the
+        # reference's per-Simulation reporters (md counts MD steps, ncmc
+        # counts propagation steps)
+        steps_per_iter = (
+            getattr(sim, "propSteps", sim.cfg.nstepsNC)
+            if self.source == "ncmc"
+            else sim.cfg.nstepsMD
+        )
         self._steps_done += steps_per_iter
         if self._t0 is None:
             self._t0 = time.time()
@@ -369,7 +378,7 @@ class ReporterConfig:
         if "state" in c:
             reps.append(
                 StateDataReporter(
-                    title=self.source, log=self.logger,
+                    title=self.source, log=self.logger, source=self.source,
                     **{k: v for k, v in (c["state"] or {}).items()},
                 )
             )
@@ -386,5 +395,7 @@ class ReporterConfig:
         if "progress" in c:
             reps.append(ProgressReporter(f"{self.outfname}.progress", **(c["progress"] or {})))
         if "stream" in c:
-            reps.append(StateDataReporter(log=self.logger, **(c["stream"] or {})))
+            reps.append(
+                StateDataReporter(log=self.logger, source=self.source, **(c["stream"] or {}))
+            )
         return reps
