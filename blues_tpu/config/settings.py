@@ -73,7 +73,13 @@ class Settings:
         if os.path.exists(yaml_or_path):
             with open(yaml_or_path) as f:
                 return yaml.safe_load(f)
-        return yaml.safe_load(yaml_or_path)
+        if "\n" not in yaml_or_path:
+            # a path-like string that doesn't exist is a user error, not YAML
+            raise FileNotFoundError(f"config file not found: {yaml_or_path}")
+        loaded = yaml.safe_load(yaml_or_path)
+        if not isinstance(loaded, dict):
+            raise ValueError("config YAML must define a mapping of sections")
+        return loaded
 
     # --- pipeline (reference set_Parameters, blues/settings.py:286-307) ----
     def _set_parameters(self, cfg: dict) -> dict:

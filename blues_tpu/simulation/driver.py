@@ -314,7 +314,8 @@ class BLUESSimulation:
 
         fn = jax.jit(_min)
         if self.cfg.n_replicas > 1:
-            fn = jax.jit(jax.vmap(_min, in_axes=(0, None)))
+            # box is broadcast to (R, 3, 3) by initialize()
+            fn = jax.jit(jax.vmap(_min, in_axes=(0, 0)))
         x = fn(s.positions, s.box)
         self.state = SimState(x, s.velocities, s.box, s.rng_key)
         return self.state

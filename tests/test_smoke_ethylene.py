@@ -176,3 +176,30 @@ def test_nan_work_forces_rejection(ethylene):
     assert not bool(stats.accepted)
     # the MD state survived: positions finite (rejection restored them)
     assert bool(jnp.isfinite(sim.state.positions).all())
+
+
+def test_md_state_unchanged_on_reject(ethylene):
+    """The reference verifies the MD context's PE is untouched after a
+    rejected move to 1e-6 rel (blues/simulation.py:1160-1166). Functionally,
+    rejection must restore the exact pre-NCMC positions before MD resumes:
+    with nstepsMD=0 and a veto-forcing move, state is bitwise unchanged."""
+    import blues_tpu.moves.base as mb
+
+    class VetoMove(mb.Move):
+        def propose(self, key, x, box, aux):
+            lig = jnp.arange(2, 8)
+            return x.at[lig].add(0.3), aux
+
+        def after(self, key, x, box, aux):
+            return jnp.ones((), bool)  # always veto => work = 999999
+
+    system, x = charged_ethylene()
+    cfg = SimulationConfig(nIter=1, nstepsNC=10, nstepsMD=0, temperature=200.0,
+                           dt=0.001, moveStep=5)
+    sim = BLUESSimulation(system, VetoMove(), cfg)
+    sim.initialize(x, key=jax.random.PRNGKey(9))
+    x_before = np.asarray(sim.state.positions)
+    stats, _, _ = sim.run_iteration()
+    assert not bool(stats.accepted)
+    assert float(stats.protocol_work) > 900000.0
+    assert np.array_equal(np.asarray(sim.state.positions), x_before)
