@@ -59,8 +59,11 @@ def main():
     print(f"# mobile atoms: {(system.masses > 0).sum()} / {system.n_atoms}",
           file=sys.stderr, flush=True)
 
+    # ewaldErrorTolerance 0.005 matches the reference production protocol
+    # (examples/rotmove_cuda.yml:26)
     efn = make_energy_fn(
-        system, nonbonded_method="PME", cutoff=0.9, nonbonded_backend=backend
+        system, nonbonded_method="PME", cutoff=0.9, ewald_tolerance=0.005,
+        nonbonded_backend=backend,
     )
     ffn = make_force_fn(efn)
     cx, cv = make_constraint_fns(system.constraints, system.masses)

@@ -245,6 +245,7 @@ def create_simulation(config, move=None, n_replicas: int = 1):
         moveStep=sim_cfg.get("moveStep"),
         nonbonded_method=nbm,
         cutoff=float(sysc.get("nonbondedCutoff", 1.0)),
+        ewald_tolerance=float(sysc.get("ewaldErrorTolerance", 5e-4)),
         md_report_interval=_md_frame_interval(cfg, int(sim_cfg.get("nstepsMD", 100))),
         n_replicas=n_replicas,
     )

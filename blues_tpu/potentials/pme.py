@@ -160,18 +160,28 @@ def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
             (u_p.reshape(-1, CHUNK, 3), q_p.reshape(-1, CHUNK)),
         )
 
-        fq = jnp.fft.fftn(grid)
+        # real-input FFT: half spectrum along z with multiplicity weights
+        # (2 for interior kz planes, 1 for kz = 0 and the Nyquist plane)
+        fq = jnp.fft.rfftn(grid)
         s2 = jnp.real(fq) ** 2 + jnp.imag(fq) ** 2
+
+        kz_half = Kz // 2 + 1
+        mz_h = mz[:kz_half]
+        b2z_h = b2z[:kz_half]
+        mult = np.full(kz_half, 2.0)
+        mult[0] = 1.0
+        if Kz % 2 == 0:
+            mult[-1] = 1.0
 
         m2 = (
             (jnp.asarray(mx, dtype)[:, None, None] / blen[0]) ** 2
             + (jnp.asarray(my, dtype)[None, :, None] / blen[1]) ** 2
-            + (jnp.asarray(mz, dtype)[None, None, :] / blen[2]) ** 2
+            + (jnp.asarray(mz_h, dtype)[None, None, :] / blen[2]) ** 2
         )
         b2 = (
             jnp.asarray(b2x, dtype)[:, None, None]
             * jnp.asarray(b2y, dtype)[None, :, None]
-            * jnp.asarray(b2z, dtype)[None, None, :]
+            * jnp.asarray(b2z_h * mult, dtype)[None, None, :]
         )
         pi2 = math.pi * math.pi
         influence = jnp.where(

@@ -59,6 +59,7 @@ class SimulationConfig:
     alchemical_functions: Optional[dict] = None
     nonbonded_method: str = "NoCutoff"
     cutoff: float = 1.0  # nm
+    ewald_tolerance: float = 5e-4
     alchemical_pme_treatment: str = "direct-space"
     md_report_interval: Optional[int] = None  # collect MD frames every k steps
     pressure: Optional[float] = None  # bar; None = NVT (barostat on MD only)
@@ -103,6 +104,7 @@ class BLUESSimulation:
         common = dict(
             nonbonded_method=config.nonbonded_method,
             cutoff=config.cutoff,
+            ewald_tolerance=config.ewald_tolerance,
             use_pallas=config.use_pallas,
             nonbonded_backend=config.nonbonded_backend,
         )

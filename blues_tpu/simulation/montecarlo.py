@@ -42,6 +42,7 @@ class MonteCarloSimulation:
             system.replace(alchemical=None),
             nonbonded_method=config.nonbonded_method,
             cutoff=config.cutoff,
+            ewald_tolerance=config.ewald_tolerance,
             nonbonded_backend=config.nonbonded_backend,
         )
         self.force = make_force_fn(self.energy)
