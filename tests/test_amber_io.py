@@ -101,3 +101,35 @@ def test_minimize_then_stable_md(tol):
         axis=1,
     )
     assert np.max(np.abs(d / system.constraints.dist - 1)) < 1e-4
+
+
+@pytest.mark.slow
+def test_alchemical_pme_treatments(tol):
+    """'exact' treatment makes the NCMC potential equal the MD potential at
+    full lambda (correction identically ~0); 'direct-space' (the reference
+    default) leaves a nonzero correction that the driver applies
+    (blues/simulation.py:1100-1119)."""
+    from blues_tpu.core.system import AlchemicalRegion
+    from blues_tpu.moves import NullMove
+    from blues_tpu.simulation import BLUESSimulation, SimulationConfig
+
+    system, crd = tol
+    lig = system.topology.select_resname("LIG")
+    system = system.replace(alchemical=AlchemicalRegion(atoms=lig))
+    corrections = {}
+    for treatment in ("exact", "direct-space"):
+        cfg = SimulationConfig(
+            nIter=1, nstepsNC=10, nstepsMD=0, temperature=300.0, dt=0.002,
+            moveStep=5, nonbonded_method="PME", cutoff=0.9,
+            alchemical_pme_treatment=treatment,
+        )
+        sim = BLUESSimulation(system, NullMove(), cfg)
+        sim.initialize(crd.positions, key=jax.random.PRNGKey(1))
+        sim.minimize(400)
+        stats, _, _ = sim.run_iteration()
+        corrections[treatment] = float(stats.correction)
+    # exact: U_alch(x, lam=1) == U_md(x) -> correction is f32 noise only
+    assert abs(corrections["exact"]) < 0.05, corrections
+    # direct-space: ligand reciprocal-space terms differ between the
+    # protocol's endpoint configurations -> distinctly nonzero
+    assert abs(corrections["direct-space"]) > 0.05, corrections
