@@ -149,6 +149,14 @@ def extract_atoms(system: System, atom_indices, positions=None):
     nb = system.nonbonded
     ex = keep(nb.exclusions)
     ec = keep(nb.exceptions_idx)
+    alch = None
+    if system.alchemical is not None:
+        import dataclasses as _dc
+
+        kept_alch = remap[np.asarray(system.alchemical.atoms, np.int64)]
+        kept_alch = kept_alch[kept_alch >= 0].astype(np.int32)
+        if len(kept_alch):
+            alch = _dc.replace(system.alchemical, atoms=kept_alch)
     new = System(
         masses=system.masses[sel],
         bonds=HarmonicBonds(
@@ -182,6 +190,7 @@ def extract_atoms(system: System, atom_indices, positions=None):
             dist=np.asarray(system.constraints.dist)[c],
         ),
         box=system.box,
+        alchemical=alch,
         topology=Topology(
             atom_names=[system.topology.atom_names[i] for i in sel],
             residue_names=[system.topology.residue_names[i] for i in sel],

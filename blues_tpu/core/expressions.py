@@ -230,10 +230,24 @@ class CompiledExpression:
 
     def __call__(self, env: Mapping[str, object]):
         scope = dict(env)
-        # Lepton semantics: later statements define terms for earlier ones;
-        # evaluate definitions last-to-first so dependencies resolve.
-        for name, node in reversed(self._defs):
-            scope[name] = _eval_node(node, scope)
+        # Lepton semantics: definitions may reference each other in any
+        # textual order; resolve by repeated passes (dependency order).
+        pending = list(self._defs)
+        while pending:
+            progressed = False
+            still = []
+            for name, node in pending:
+                try:
+                    scope[name] = _eval_node(node, scope)
+                    progressed = True
+                except KeyError:
+                    still.append((name, node))
+            if not progressed:
+                missing = {n for n, _ in still}
+                raise KeyError(
+                    f"unresolvable definitions {missing} in {self.text!r}"
+                )
+            pending = still
         return _eval_node(self._main, scope)
 
     def __repr__(self):

@@ -50,7 +50,10 @@ class SmartDartMove(Move):
         basis-particle frame (as produced by `darts_from_positions`)."""
         self.ligand_atoms = np.asarray(ligand_atoms, np.int32)
         self.lig_masses = np.asarray(masses, np.float64)[self.ligand_atoms]
-        self.basis_particles = np.asarray(basis_particles, np.int32)
+        # basis_particles=None: lab-frame dart centers (rigid receptor)
+        self.basis_particles = (
+            None if basis_particles is None else np.asarray(basis_particles, np.int32)
+        )
         self.darts_local = np.asarray(dart_centers_local, np.float64)
         if self.darts_local.ndim != 2 or self.darts_local.shape[0] < 2:
             raise ValueError("need at least two dart centers")
@@ -69,15 +72,21 @@ class SmartDartMove(Move):
         for coords in coordinate_sets:
             coords = np.asarray(coords)
             com = (coords[ligand_atoms] * m).sum(0) / m.sum()
-            b1, b2, b3 = coords[np.asarray(basis_particles, np.int64)]
-            basis, origin = _basis_frame(b1, b2, b3)
-            locals_.append(np.linalg.solve(basis.T, com - origin))
+            if basis_particles is None:
+                locals_.append(com)
+            else:
+                b1, b2, b3 = coords[np.asarray(basis_particles, np.int64)]
+                basis, origin = _basis_frame(b1, b2, b3)
+                locals_.append(np.linalg.solve(basis.T, com - origin))
         darts = np.asarray(locals_)
         move = cls(ligand_atoms, masses, basis_particles, darts, dart_radius)
         # overlapping darts break detailed balance (reference :1268-1290)
-        b1, b2, b3 = np.asarray(coordinate_sets[0])[np.asarray(basis_particles, np.int64)]
-        basis, origin = _basis_frame(b1, b2, b3)
-        lab = darts @ basis + origin
+        if basis_particles is None:
+            lab = darts
+        else:
+            b1, b2, b3 = np.asarray(coordinate_sets[0])[np.asarray(basis_particles, np.int64)]
+            basis, origin = _basis_frame(b1, b2, b3)
+            lab = darts @ basis + origin
         for i in range(len(lab)):
             for j in range(i + 1, len(lab)):
                 if np.linalg.norm(lab[i] - lab[j]) < 2 * dart_radius:
@@ -85,6 +94,8 @@ class SmartDartMove(Move):
         return move
 
     def _lab_darts(self, x):
+        if self.basis_particles is None:
+            return jnp.asarray(self.darts_local, x.dtype)
         bp = x[jnp.asarray(self.basis_particles)]
         basis, origin = _basis_frame(bp[0], bp[1], bp[2])
         return jnp.asarray(self.darts_local, x.dtype) @ basis + origin
