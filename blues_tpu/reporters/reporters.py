@@ -266,6 +266,7 @@ class HDF5Reporter(BaseReporter):
         self._h5 = h5
 
     def report(self, sim, iteration, stats, md_frames, ncmc_frames):
+        self.interval = _iters_interval(self.interval, sim.cfg.nstepsMD)
         if (iteration + 1) % self.interval:
             return
         frames = ncmc_frames if self.source == "ncmc" else md_frames
