@@ -1,24 +1,38 @@
 """Benchmark: NCMC switching-step throughput on the T4-toluene-scale system.
 
 Metric (BASELINE.json): NCMC switching steps/sec/chip at 22,340 atoms.
-The benchmark system is toluene + TIP3P water constructed at the reference
-benchmark's atom count (the reference's own eqToluene prmtop is a missing
-large blob; see blues_tpu.testsystems.t4_scale_toluene_box). Each switching
-step is a full "H V R O R V H" BAOAB micro-step of the lambda protocol —
-softcore LJ + PME electrostatics energy AND forces twice per step — run as
-a jit-scanned protocol on one chip via the Pallas pair kernel + MXU PME.
+The benchmark system is toluene surrounded by a shell of divaline peptides
+(real Amber parameters) in TIP3P water at the reference benchmark's atom
+count (the reference's own eqToluene prmtop is a missing large blob; see
+blues_tpu.testsystems.t4_scale_binding_site_box) — under the reference
+freeze protocol (frozen = outside 5 A OR solvent,
+reference blues/simulation.py:400-433) the mobile set is binding-site-like
+protein residues + ligand, with protein bonded terms in the hot loop.
+Each switching step is a full "H V R O R V H" BAOAB micro-step of the
+lambda protocol — softcore LJ + PME electrostatics energy AND forces twice
+per step — run as a jit-scanned protocol on one chip via the Pallas pair
+kernel + MXU PME.
 
-vs_baseline: ratio to an OpenMM-CPU estimate for the same protocol
+Secondary data in the same JSON line:
+  * real-prmtop datum: the unfrozen watDivaline system (2,591 atoms,
+    reference blues/tests/data) switching steps/s;
+  * unfrozen 22k energy+force eval time for the O(N^2) pallas kernel and
+    the O(N) cell-list backend (the production MD-stage cost driver).
+
+vs_baseline: ratio to an OpenMM-CPU ESTIMATE for the same protocol
 (~15 switching steps/s: 22k-atom PME MD on a modern CPU runs ~15 ns/day at
 2 fs = ~87 steps/s; the reference's NCMC integrator performs ~3 energy+force
 passes per step through CustomNonbondedForce softcore paths, ~6x MD cost).
-The driver-set target is >= 10x (BASELINE.json north_star).
+OpenMM is not installable here, so the denominator is an estimate, not a
+measurement (flagged in baseline_note). The driver-set target is >= 10x
+(BASELINE.json north_star).
 
-Prints ONE JSON line.
+Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -35,7 +49,28 @@ N_ATOMS = 22340
 NSTEPS_NC = 50
 
 
-def main():
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_flagship():
+    try:
+        from blues_tpu.testsystems import t4_scale_binding_site_box
+
+        system, x0 = t4_scale_binding_site_box(n_atoms=N_ATOMS)
+        flavor = "binding-site (toluene + divaline shell + TIP3P)"
+    except Exception as e:  # reference data dir unavailable
+        log(f"# binding-site system unavailable ({e}); water-box fallback")
+        from blues_tpu.testsystems import t4_scale_toluene_box
+
+        system, x0 = t4_scale_toluene_box(n_atoms=N_ATOMS)
+        flavor = "toluene + TIP3P water"
+    return system, x0, flavor
+
+
+def ncmc_protocol_sps(system, x0, backend, n_rep=3, replicas=8, minimize_steps=400):
+    """Compile + time the 50-step NCMC switching protocol. Returns
+    (single-replica steps/s, aggregate batched steps/s)."""
     from blues_tpu.core.state import maxwell_boltzmann_velocities
     from blues_tpu.integrators.constraints import make_constraint_fns
     from blues_tpu.integrators.langevin import LangevinParams
@@ -44,21 +79,8 @@ def main():
     from blues_tpu.integrators.schedules import build_ncmc_schedule
     from blues_tpu.moves import RandomLigandRotationMove
     from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
-    from blues_tpu.testsystems import t4_scale_toluene_box
 
-    on_tpu = jax.default_backend() == "tpu"
-    backend = "pallas" if on_tpu else "tiled"
-
-    system, x0 = t4_scale_toluene_box(n_atoms=N_ATOMS)
     lig = system.topology.select_resname("LIG")
-    # the reference production protocol freezes atoms > 5 A from the ligand
-    # (examples/rotmove_cuda.yml:42-45); frozen-frozen pair energy is a
-    # constant, so the kernels compute mobile rows only
-    system = system.freeze_radius(x0, lig, 0.5)
-    import sys
-    print(f"# mobile atoms: {(system.masses > 0).sum()} / {system.n_atoms}",
-          file=sys.stderr, flush=True)
-
     # ewaldErrorTolerance 0.005 matches the reference production protocol
     # (examples/rotmove_cuda.yml:26)
     efn = make_energy_fn(
@@ -69,12 +91,10 @@ def main():
     cx, cv = make_constraint_fns(system.constraints, system.masses)
     box = jnp.asarray(system.box, jnp.float32)
     x = jnp.asarray(x0, jnp.float32)
-
-    # resolve lattice clashes once (reference minimizes before running too,
-    # tests/test_simulation.py:139-141)
-    x, _ = jax.jit(
-        lambda x: minimize_fire(ffn, system.masses, x, box, n_steps=400, constrain_x=cx)
-    )(x)
+    if minimize_steps:
+        x, _ = jax.jit(
+            lambda x: minimize_fire(ffn, system.masses, x, box, n_steps=minimize_steps, constrain_x=cx)
+        )(x)
 
     params = LangevinParams(dt=0.002, friction=1.0, temperature=300.0)
     schedule = build_ncmc_schedule(NSTEPS_NC)
@@ -90,44 +110,132 @@ def main():
 
     res = protocol_j(x, v, box, kp)  # compile + warmup
     jax.block_until_ready(res.positions)
-
-    n_rep = 3
     t0 = time.time()
     for i in range(n_rep):
         res = protocol_j(x, v, box, jax.random.fold_in(kp, i))
     jax.block_until_ready(res.positions)
-    dt = (time.time() - t0) / n_rep
-    single_sps = schedule.n_micro / dt
+    single_sps = n_rep * schedule.n_micro / (time.time() - t0)
 
-    # per-chip capacity: batched replicas (BASELINE.json configs[4])
-    R = 8
-    vprot = jax.jit(jax.vmap(protocol, in_axes=(0, 0, None, 0)))
-    xs = jnp.broadcast_to(x, (R,) + x.shape)
-    keys = jax.random.split(kp, R)
-    vs = jax.vmap(
-        lambda k: maxwell_boltzmann_velocities(k, system.masses, 300.0)
-    )(keys)
-    r = vprot(xs, vs, box, keys)
-    jax.block_until_ready(r.positions)
-    t0 = time.time()
-    for i in range(2):
-        keys_i = jax.vmap(lambda k: jax.random.fold_in(k, i + 1))(keys)
-        r = vprot(xs, vs, box, keys_i)
+    agg_sps = 0.0
+    if replicas > 1:
+        vprot = jax.jit(jax.vmap(protocol, in_axes=(0, 0, None, 0)))
+        xs = jnp.broadcast_to(x, (replicas,) + x.shape)
+        keys = jax.random.split(kp, replicas)
+        vs = jax.vmap(
+            lambda k: maxwell_boltzmann_velocities(k, system.masses, 300.0)
+        )(keys)
+        r = vprot(xs, vs, box, keys)
         jax.block_until_ready(r.positions)
-    agg_sps = 2 * R * schedule.n_micro / (time.time() - t0)
+        t0 = time.time()
+        for i in range(2):
+            keys_i = jax.vmap(lambda k: jax.random.fold_in(k, i + 1))(keys)
+            r = vprot(xs, vs, box, keys_i)
+            jax.block_until_ready(r.positions)
+        agg_sps = 2 * replicas * schedule.n_micro / (time.time() - t0)
+    return single_sps, agg_sps
 
+
+def unfrozen_eval_ms(system, x0, backend, n_rep=10):
+    """Unfrozen full-system energy+force eval time (the MD-stage cost)."""
+    from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
+
+    try:
+        efn = make_energy_fn(
+            system, nonbonded_method="PME", cutoff=0.9, ewald_tolerance=0.005,
+            nonbonded_backend=backend,
+        )
+    except ValueError as e:
+        log(f"# backend {backend} ineligible: {e}")
+        return None
+    ffn = jax.jit(make_force_fn(efn))
+    box = jnp.asarray(system.box, jnp.float32)
+    x = jnp.asarray(x0, jnp.float32)
+    e, f = ffn(x, box, None)
+    jax.block_until_ready(f)
+    if not bool(jnp.isfinite(e)):
+        log(f"# backend {backend}: non-finite energy at bench config")
+        return None
+    t0 = time.time()
+    for _ in range(n_rep):
+        e, f = ffn(x, box, None)
+    jax.block_until_ready(f)
+    return (time.time() - t0) / n_rep * 1e3
+
+
+def watdivaline_sps():
+    from blues_tpu.core.amber_coords import load_inpcrd
+    from blues_tpu.core.prmtop import load_prmtop
+
+    data = "/root/reference/blues/tests/data"
+    if not os.path.isdir(data):
+        return None
+    system = load_prmtop(f"{data}/watDivaline.prmtop", hydrogen_mass=3.024)
+    crd = load_inpcrd(f"{data}/watDivaline.inpcrd")
+    system = system.replace(box=crd.box)
+    from blues_tpu.core.system import AlchemicalRegion
+
+    val = system.topology.select_resname("VAL")
+    system = system.replace(alchemical=AlchemicalRegion(atoms=val[:16]))
+    # small real prmtop: dense/auto backend, unfrozen
+    single, _ = ncmc_protocol_sps(
+        system, crd.positions, "auto", n_rep=3, replicas=1, minimize_steps=800
+    )
+    return single
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "tiled"
+
+    system, x0, flavor = build_flagship()
+    lig = system.topology.select_resname("LIG")
+    # reference production protocol: freeze everything outside 5 A of the
+    # ligand AND all solvent (examples/rotmove_cuda.yml:42-45 +
+    # blues/simulation.py:400-433); frozen-frozen pair energy is a constant,
+    # so the kernels compute mobile rows only
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        frozen_system = system.freeze_radius(np.asarray(x0), lig, 0.5)
+    mobile = int((frozen_system.masses > 0).sum())
+    log(f"# flagship: {flavor}; mobile atoms {mobile} / {system.n_atoms}")
+
+    single_sps, agg_sps = ncmc_protocol_sps(frozen_system, x0, backend)
     steps_per_sec = max(single_sps, agg_sps)
+    log(f"# frozen protocol: single {single_sps:.1f}, aggregate {agg_sps:.1f} sps")
+
+    # unfrozen full-system eval: O(N^2) kernel vs O(N) cell list
+    evals = {}
+    for b in ([backend, "cells"] if on_tpu else ["cells", "tiled"]):
+        ms = unfrozen_eval_ms(system, x0, b, n_rep=10 if on_tpu else 2)
+        if ms is not None:
+            evals[b] = round(ms, 2)
+            log(f"# unfrozen 22k E+F eval [{b}]: {ms:.2f} ms")
+
+    wd_sps = None
+    try:
+        wd_sps = watdivaline_sps()
+        if wd_sps:
+            log(f"# watDivaline (2591 atoms, unfrozen): {wd_sps:.1f} sps")
+    except Exception as e:
+        log(f"# watDivaline bench failed: {e}")
+
     print(
         json.dumps(
             {
                 "metric": "ncmc_switching_steps_per_sec_per_chip_22340atoms",
                 "value": round(steps_per_sec, 2),
-                "n_atoms": N_ATOMS,
-                "protocol": "freeze>5A production config, 22340 atoms, PME 9A, softcore NCMC",
+                "n_atoms": system.n_atoms,
+                "mobile_atoms": mobile,
+                "protocol": f"{flavor}; freeze>5A+solvent production config, PME 9A, softcore NCMC",
                 "single_replica_steps_per_sec": round(single_sps, 2),
                 "aggregate_8_replicas_steps_per_sec": round(agg_sps, 2),
+                "unfrozen_eval_ms": evals,
+                "watdivaline_steps_per_sec": round(wd_sps, 2) if wd_sps else None,
                 "unit": "switching_steps/s",
                 "vs_baseline": round(steps_per_sec / OPENMM_CPU_BASELINE_STEPS_PER_SEC, 2),
+                "baseline_note": "denominator is an OpenMM-CPU estimate (OpenMM not installable here), not a measurement",
             }
         )
     )

@@ -177,8 +177,13 @@ def load_structure(cfg: dict):
     if box is not None:
         system = system.replace(box=box)
 
-    # alchemical region over the ligand selection
+    # alchemical region over the ligand selection; treatment keys belong to
+    # the simulation config, not the region (reference generateAlchSystem
+    # kwargs, blues/simulation.py:221-317)
     alch_cfg = dict(sysc.get("alchemical", {}) or {})
+    for treatment_key in ("alchemical_pme_treatment", "suppress_warnings"):
+        if treatment_key in alch_cfg:
+            sysc[treatment_key] = alch_cfg.pop(treatment_key)
     lig_resname = (cfg.get("ligand", {}) or {}).get("resname", "LIG")
     lig = system.topology.select_resname(lig_resname)
     if len(lig):
@@ -195,8 +200,18 @@ def load_structure(cfg: dict):
         center = amber_selection_to_atomidx(
             system.topology, str(frz.get("freeze_center", ":LIG")), positions
         )
+        # freeze_solvent is a residue mask like ':HOH,NA,CL' (reference
+        # default, blues/simulation.py:400): those residues freeze even
+        # inside the radius
+        solvent_mask = str(frz.get("freeze_solvent", ":HOH,NA,CL"))
+        solvent_resnames = tuple(
+            r.strip() for r in solvent_mask.lstrip(":").split(",") if r.strip()
+        )
         system = system.freeze_radius(
-            positions, center, float(frz.get("freeze_distance", 0.5))
+            positions,
+            center,
+            float(frz.get("freeze_distance", 0.5)),
+            solvent_resnames=solvent_resnames,
         )
     # restraints section (reference SystemFactory.restrain_positions)
     rst = cfg.get("restraints")
@@ -233,6 +248,15 @@ def create_simulation(config, move=None, n_replicas: int = 1):
     nbm = sysc.get("nonbondedMethod", "NoCutoff")
     if nbm == "Ewald":
         nbm = "PME"
+
+    # NCMC snapshot schedule: union of the ncmc reporters' frame_indices
+    # (reference sentinel semantics, blues/settings.py:271-277)
+    frame_indices = set()
+    for block in (cfg.get("ncmc_reporters", {}) or {}).values():
+        if isinstance(block, dict) and block.get("frame_indices"):
+            frame_indices.update(block["frame_indices"])
+
+    pressure = sim_cfg.get("pressure")
     config_obj = SimulationConfig(
         nIter=int(sim_cfg.get("nIter", 100)),
         nstepsNC=int(sim_cfg.get("nstepsNC", 100)),
@@ -243,10 +267,27 @@ def create_simulation(config, move=None, n_replicas: int = 1):
         nprop=int(sim_cfg.get("nprop", 1)),
         propLambda=float(sim_cfg.get("propLambda", 0.3)),
         moveStep=sim_cfg.get("moveStep"),
+        splitting=str(sim_cfg.get("splitting", "H V R O R V H")),
+        alchemical_functions=sim_cfg.get("alchemical_functions"),
         nonbonded_method=nbm,
         cutoff=float(sysc.get("nonbondedCutoff", 1.0)),
+        # switchDistance is honored only with useSwitchingFunction (OpenMM
+        # createSystem semantics the reference forwards)
+        switch_distance=(
+            float(sysc["switchDistance"])
+            if sysc.get("useSwitchingFunction") and sysc.get("switchDistance")
+            else None
+        ),
         ewald_tolerance=float(sysc.get("ewaldErrorTolerance", 5e-4)),
+        alchemical_pme_treatment=str(
+            sysc.get("alchemical_pme_treatment", "direct-space")
+        ),
         md_report_interval=_md_frame_interval(cfg, int(sim_cfg.get("nstepsMD", 100))),
+        # the reference adds a MonteCarloBarostat whenever 'pressure' is
+        # configured (blues/simulation.py:602-626); NPT applies to MD only
+        pressure=float(pressure) if pressure is not None else None,
+        barostat_frequency=int(sim_cfg.get("barostatInterval", 25)),
+        ncmc_frame_indices=tuple(sorted(frame_indices)) or None,
         n_replicas=n_replicas,
     )
     sim = BLUESSimulation(system, move, config_obj)

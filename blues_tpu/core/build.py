@@ -264,14 +264,31 @@ def solvated_ligand_box(ligand: System, lig_positions, n_total_atoms: int, seed:
     reference: blues/tests/data/eqToluene.inpcrd:2)."""
     n_lig = ligand.n_atoms
     n_wat = (n_total_atoms - n_lig + 2) // 3
-    wat, wx = tip3p_water_box(n_wat, seed=seed)
-    L = wat.box[0, 0]
-    lig_x = np.asarray(lig_positions)
-    lig_x = lig_x - lig_x.mean(0) + L / 2.0
-    # remove waters whose O overlaps the ligand
-    o_pos = wx[0::3]
-    d = np.linalg.norm(o_pos[:, None, :] - lig_x[None, :, :], axis=-1).min(1)
-    keep_w = np.where(d > 0.35)[0]
+    # overlap removal shrinks the box below the target atom count; iterate
+    # the water count until the final system lands on ~n_total_atoms
+    for _ in range(4):
+        wat, wx = tip3p_water_box(n_wat, seed=seed)
+        L = wat.box[0, 0]
+        lig_x = np.asarray(lig_positions)
+        lig_x = lig_x - lig_x.mean(0) + L / 2.0
+        # remove waters whose O overlaps the solute
+        o_pos = wx[0::3]
+        # chunked min-distance (solute can be ~1k atoms at 20k+ waters)
+        d = np.full(o_pos.shape[0], np.inf)
+        for lo in range(0, lig_x.shape[0], 256):
+            chunk = lig_x[lo : lo + 256]
+            d = np.minimum(
+                d,
+                np.linalg.norm(
+                    o_pos[:, None, :] - chunk[None, :, :], axis=-1
+                ).min(1),
+            )
+        keep_w = np.where(d > 0.35)[0]
+        total = n_lig + 3 * keep_w.size
+        short = n_total_atoms - total
+        if abs(short) <= 3:
+            break
+        n_wat += (short + 2) // 3
     keep_atoms = np.stack([3 * keep_w, 3 * keep_w + 1, 3 * keep_w + 2], 1).reshape(-1)
     wat_kept, wx_kept = extract_atoms(wat, keep_atoms, wx)
     merged, x = merge_systems(ligand.replace(box=wat.box), lig_x, wat_kept, wx_kept, box=wat.box)

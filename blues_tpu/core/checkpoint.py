@@ -33,6 +33,14 @@ def save_checkpoint(path: str, sim) -> None:
         "n_replicas": sim.cfg.n_replicas,
         "n_atoms": sim.system.n_atoms,
     }
+    extra = {}
+    bstate = getattr(sim, "barostat_state", None)
+    if bstate is not None:
+        extra["barostat_volume_scale"] = np.asarray(bstate.volume_scale)
+        extra["barostat_n_attempted"] = np.asarray(bstate.n_attempted)
+        extra["barostat_n_accepted"] = np.asarray(bstate.n_accepted)
+    if getattr(sim, "move_stats", None) is not None:
+        extra["move_stats"] = np.asarray(sim.move_stats)
     np.savez_compressed(
         path,
         positions=np.asarray(s.positions),
@@ -40,6 +48,7 @@ def save_checkpoint(path: str, sim) -> None:
         box=np.asarray(s.box),
         rng_key=np.asarray(s.rng_key),
         meta=json.dumps(meta),
+        **extra,
     )
 
 
@@ -67,4 +76,14 @@ def load_checkpoint(path: str, sim) -> SimState:
     )
     sim.iteration_count = meta["iteration_count"]
     sim.accept_counter = meta["accept_counter"]
+    if "barostat_volume_scale" in data and hasattr(sim, "barostat_state"):
+        from ..integrators.barostat import BarostatState
+
+        sim.barostat_state = BarostatState(
+            volume_scale=jnp.asarray(data["barostat_volume_scale"]),
+            n_attempted=jnp.asarray(data["barostat_n_attempted"]),
+            n_accepted=jnp.asarray(data["barostat_n_accepted"]),
+        )
+    if "move_stats" in data and hasattr(sim, "move_stats"):
+        sim.move_stats = np.asarray(data["move_stats"])
     return sim.state

@@ -249,12 +249,15 @@ class System:
     def freeze_radius(
         self, positions, center_indices, freeze_distance: float, solvent_resnames=("WAT", "HOH", "NA", "CL", "Na+", "Cl-")
     ) -> "System":
-        """Freeze everything except solvent/atoms within ``freeze_distance``
-        (nm) of the center selection — the inverted selection
+        """Freeze everything except the binding site — the inverted selection
         '(center<:r)&!(solvent)' of reference blues/simulation.py:394-480.
 
-        Atoms within the radius of ANY center atom stay mobile; solvent
-        within the radius also stays mobile; everything else is frozen.
+        Mobile = atoms of residues within ``freeze_distance`` (nm) of ANY
+        center atom, EXCLUDING solvent (the reference freezes water/ions even
+        inside the radius, blues/simulation.py:433, default freeze_solvent
+        ':HOH,NA,CL'); everything else is frozen. The distance test is
+        residue-based ('<:' in Amber mask syntax: a residue is in if any of
+        its atoms is within r), matching parmed's mask semantics.
         """
         positions = np.asarray(positions)
         center = positions[np.asarray(center_indices, dtype=np.int64)]
@@ -263,7 +266,21 @@ class System:
             blen = np.diag(self.box)
             diff -= blen * np.round(diff / blen)
         dmin = np.sqrt((diff**2).sum(-1)).min(axis=1)
-        mobile = dmin < freeze_distance
+        within = dmin < freeze_distance
+        if self.topology is not None:
+            # residue-based: whole residue is within if any atom is
+            res_ids = np.asarray(self.topology.residue_ids)
+            within_res = np.unique(res_ids[within])
+            within = np.isin(res_ids, within_res)
+            is_solvent = np.isin(
+                np.asarray(self.topology.residue_names), list(solvent_resnames)
+            )
+        else:
+            is_solvent = np.zeros(self.n_atoms, bool)
+        mobile = within & ~is_solvent
+        # the center selection itself always stays mobile (it is the
+        # alchemical ligand; freezing it would break the NCMC move)
+        mobile[np.asarray(center_indices, dtype=np.int64)] = True
         frozen_idx = np.where(~mobile)[0]
         n_frozen = frozen_idx.size
         n = self.n_atoms

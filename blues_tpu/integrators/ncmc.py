@@ -51,6 +51,8 @@ class NCMCResult(NamedTuple):
     mid_positions: jax.Array  # positions right after the midpoint move
     mid_work: jax.Array  # protocol work accumulated up to the midpoint
     move_aux: object  # pytree returned by the move (diagnostics)
+    snapshots: object  # (K, N, 3) positions at record_micro points, or None
+    snapshot_work: object  # (K,) protocol work (kJ/mol) at those points
 
 
 def _stack_schedule(schedule: NCMCSchedule, lo: int, hi: int, dtype):
@@ -69,11 +71,20 @@ def make_ncmc_protocol(
     schedule: NCMCSchedule,
     move=None,
     dtype=jnp.float32,
+    record_micro=(),
 ):
     """Build protocol_fn(x, v, box, key) -> NCMCResult.
 
     energy_fn(x, box, globals) -> E; force_fn -> (E, F). ``move`` follows the
     moves.base.Move protocol (before / propose / after); None = no move.
+
+    ``record_micro``: static micro-step indices (0..n_micro) at which to
+    snapshot positions + accumulated work into NCMCResult.snapshots /
+    snapshot_work — the jit-compatible realization of the reference's
+    frame_indices NCMC-reporter scheduling (blues/reporters.py:362-371).
+    A snapshot at micro index m is taken after m micro steps, with the
+    midpoint move included once m >= move_micro; the final snapshot
+    (m == n_micro) includes the closing lambda-transition work.
     """
     m = make_baoab_machinery(masses, params, constrain_x, constrain_v)
     h = params.dt / 2.0
@@ -96,6 +107,18 @@ def make_ncmc_protocol(
         v = m["kick"](v, f2, h, x)
         return (x, v, key, work, e2, box), None
 
+    rec = tuple(sorted(set(int(m) for m in record_micro)))
+    if rec and not (0 <= rec[0] and rec[-1] <= schedule.n_micro):
+        raise ValueError(
+            f"record_micro {rec} out of range for n_micro={schedule.n_micro}"
+        )
+    # segment boundaries: every record point (except the final one, handled
+    # after the closing lambda transition) plus the move micro-step
+    boundaries = sorted(
+        set(m for m in rec if 0 < m < schedule.n_micro) | {mm, schedule.n_micro}
+    )
+    rec_set = set(rec)
+
     def protocol_fn(x, v, box, key):
         x = constrain_x(x, x)
         v = constrain_v(v, x)
@@ -110,36 +133,50 @@ def make_ncmc_protocol(
         work = KahanAccumulator.zeros(dtype)
         mid_positions, mid_work = x, work.value
         carry = (x, v, key, work, e0, box)
+        snaps, snap_works = [], []
 
-        xs1 = _stack_schedule(schedule, 0, mm, dtype)
-        if mm > 0:
-            carry, _ = jax.lax.scan(micro_step, carry, xs1)
-        x, v, key, work, e_cache, box = carry
-
-        # --- midpoint move with external-work capture -----------------------
-        # (reference: move applied between integrator steps, its work counted
-        # via perturbed_pe - unperturbed_pe at the top of the next step,
-        # blues/simulation.py:1074-1079 + blues/integrators.py:183-191)
-        if move is not None:
+        def apply_move(carry):
+            # --- midpoint move with external-work capture ------------------
+            # (reference: move applied between integrator steps, its work
+            # counted via perturbed_pe - unperturbed_pe at the top of the
+            # next step, blues/simulation.py:1074-1079 +
+            # blues/integrators.py:183-191)
+            x, v, key, work, e_cache, box = carry
             e_b = energy_fn(x, box, g_pre)
             work = work.add(e_b - e_cache)  # lambda transition at fixed x
             key, mkey = jax.random.split(key)
-            x_new, aux = move.propose(mkey, x, box, aux)
+            x_new, aux2 = move.propose(mkey, x, box, aux)
             e_b2 = energy_fn(x_new, box, g_pre)
             work = work.add(e_b2 - e_b)  # external (move) work
-            x = x_new
-            e_cache = e_b2
-        mid_positions, mid_work = x, work.value
+            return (x_new, v, key, work, e_b2, box), aux2
 
-        xs2 = _stack_schedule(schedule, mm, schedule.n_micro, dtype)
-        if schedule.n_micro - mm > 0:
-            carry = (x, v, key, work, e_cache, box)
-            carry, _ = jax.lax.scan(micro_step, carry, xs2)
-            x, v, key, work, e_cache, box = carry
+        if mm == 0 and move is not None:
+            carry, aux = apply_move(carry)
+            mid_positions, mid_work = carry[0], carry[3].value
+        if 0 in rec_set:
+            snaps.append(carry[0])
+            snap_works.append(carry[3].value)
+
+        prev = 0
+        for p in boundaries:
+            if p > prev:
+                xs = _stack_schedule(schedule, prev, p, dtype)
+                carry, _ = jax.lax.scan(micro_step, carry, xs)
+            prev = p
+            if p == mm and mm > 0 and move is not None:
+                carry, aux = apply_move(carry)
+                mid_positions, mid_work = carry[0], carry[3].value
+            if p in rec_set and p < schedule.n_micro:
+                snaps.append(carry[0])
+                snap_works.append(carry[3].value)
+        x, v, key, work, e_cache, box = carry
 
         # closing lambda transition to master lambda = 1
         e_final = energy_fn(x, box, g_final)
         work = work.add(e_final - e_cache)
+        if schedule.n_micro in rec_set:
+            snaps.append(x)
+            snap_works.append(work.value)
 
         protocol_work = work.value
         if move is not None:
@@ -158,6 +195,8 @@ def make_ncmc_protocol(
             mid_positions=mid_positions,
             mid_work=mid_work,
             move_aux=aux,
+            snapshots=jnp.stack(snaps) if snaps else None,
+            snapshot_work=jnp.stack(snap_works) if snaps else None,
         )
 
     return protocol_fn

@@ -71,6 +71,16 @@ class NCMCSchedule:
     move_micro: int
     n_micro: int
     n_lambda_steps: int
+    #: (nsteps_neq + 1,) cumulative micro count: micro_of_step[t] is the
+    #: micro index reached after completing integrator steps 0..t-1 (so
+    #: [0] == 0 and [nsteps_neq] == n_micro). Used to map reporter
+    #: frame_indices (integrator-step units, reference
+    #: blues/settings.py:271-277) onto protocol micro indices.
+    micro_of_step: np.ndarray = None
+
+    def lambda_at_micro(self, m: int) -> float:
+        """Master lambda active after m micro steps (0.0 before any)."""
+        return 0.0 if m == 0 else float(self.master_lambda[m - 1])
 
 
 def build_ncmc_schedule(
@@ -110,6 +120,7 @@ def build_ncmc_schedule(
 
     master = []
     move_micro = None
+    micro_of_step = [0]
     for t in range(nsteps_neq):
         if t == move_step:
             move_micro = len(master)
@@ -118,6 +129,7 @@ def build_ncmc_schedule(
         master.append(lam_first)
         if prop_min < lam_last <= prop_max:
             master.extend([lam_last] * (nprop - 1))
+        micro_of_step.append(len(master))
     if move_step >= nsteps_neq:
         move_micro = len(master)
     assert move_micro is not None
@@ -144,7 +156,31 @@ def build_ncmc_schedule(
         move_micro=int(move_micro),
         n_micro=int(master.shape[0]),
         n_lambda_steps=n_lambda_steps,
+        micro_of_step=np.asarray(micro_of_step, np.int64),
     )
+
+
+def resolve_frame_indices(frame_indices, nsteps_nc: int, move_step: int):
+    """Map reporter frame_indices with the reference's sentinel values onto
+    NCMC integrator-step numbers: 0.5 -> moveStep, -1 -> nstepsNC (last)
+    (reference: blues/settings.py:271-277). Returns a sorted tuple of unique
+    step numbers in [0, nsteps_nc]."""
+    out = set()
+    for fi in frame_indices:
+        if fi == 0.5:
+            s = move_step
+        elif fi == -1:
+            s = nsteps_nc
+        else:
+            s = int(fi)
+            if s < 0:
+                s = nsteps_nc + 1 + s  # python-style negative indexing
+        if not 0 <= s <= nsteps_nc:
+            raise ValueError(
+                f"frame index {fi} out of range for a {nsteps_nc}-step protocol"
+            )
+        out.add(s)
+    return tuple(sorted(out))
 
 
 def calculate_ncmc_steps(nstepsNC: int, nprop: int = 1, propLambda: float = 0.3):

@@ -35,6 +35,12 @@ class Move:
     def init_aux(self):
         return None
 
+    def select(self, key):
+        """Sample a fresh aux for a standalone (no before-phase) proposal —
+        the reference's MoveEngine.selectMove used by the pure-MC path
+        (blues/simulation.py:1274-1283). Base moves have nothing to sample."""
+        return self.init_aux()
+
 
 class NullMove(Move):
     """Identity move, the reference's test fake

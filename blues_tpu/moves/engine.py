@@ -36,6 +36,14 @@ class MoveEngine(Move):
     def init_aux(self):
         return self._aux(jnp.zeros((), jnp.int32), [m.init_aux() for m in self.moves])
 
+    def select(self, key):
+        """Sample which move to propose (reference selectMove,
+        blues/moves.py:377-383) without running any before-phase."""
+        selected = jax.random.choice(
+            key, len(self.moves), p=jnp.asarray(self.probabilities)
+        ).astype(jnp.int32)
+        return self._aux(selected, [m.init_aux() for m in self.moves])
+
     def before(self, key, x, v, box):
         ksel, kbefore = jax.random.split(key)
         selected = jax.random.choice(

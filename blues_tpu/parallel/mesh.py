@@ -56,9 +56,12 @@ def make_sharded_iteration(sim, mesh: Mesh, axis_name: str = "replica"):
     raw = sim._iteration  # vmapped, jitted; re-jit underlying with shardings
     fn = getattr(raw, "__wrapped__", raw)
 
+    # pytree-prefix shardings: the leading spec broadcasts over the state
+    # tuple (x, v, box[, barostat_state]) and every stats/frames leaf, so the
+    # jit signature tracks driver state-structure changes automatically
     step = jax.jit(
         fn,
-        in_shardings=((batched, batched, batched), batched),
-        out_shardings=((batched, batched, batched, batched), batched, batched, batched),
+        in_shardings=(batched, batched),
+        out_shardings=(batched, batched, batched, batched),
     )
     return step

@@ -32,6 +32,8 @@ def make_energy_fn(
     rf_dielectric: float = 78.3,
     use_pallas: Optional[bool] = None,
     nonbonded_backend: str = "auto",
+    dispersion_correction: bool = True,
+    switch_distance: float = None,
 ) -> Callable:
     """Build energy_fn(positions, box=None, globals_=None) -> scalar kJ/mol."""
     terms = []
@@ -69,6 +71,8 @@ def make_energy_fn(
             backend=nonbonded_backend,
             masses=system.masses,
             frozen_ref_positions=system.frozen_ref_positions,
+            dispersion_correction=dispersion_correction,
+            switch_distance=switch_distance,
         )
         terms.append(lambda x, box, g: nb_fn(x, box, g))
 

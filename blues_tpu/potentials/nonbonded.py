@@ -179,6 +179,8 @@ def make_nonbonded_energy(
     backend: str = "auto",
     masses=None,
     frozen_ref_positions=None,
+    dispersion_correction: bool = True,
+    switch_distance=None,
 ):
     """Build fn(positions, box, globals) -> energy for the full nonbonded term.
 
@@ -196,8 +198,27 @@ def make_nonbonded_energy(
         else:
             import jax as _jax
 
-            backend = "pallas" if _jax.default_backend() == "tpu" else "tiled"
-    if backend in ("tiled", "pallas"):
+            # mostly-frozen systems are faster via tiled/pallas row
+            # compaction; mostly-mobile large systems via the cell list
+            mobile_frac = (
+                float((np.asarray(masses) > 0).mean()) if masses is not None else 1.0
+            )
+            if _jax.default_backend() == "tpu":
+                backend = "pallas"
+            else:
+                backend = "cells" if mobile_frac > 0.5 else "tiled"
+    if backend == "cells":
+        # cell lists need a periodic box and a grid of >= 27 cells
+        from .cells import _grid_shape
+
+        eligible = (
+            method in (PME, CUTOFF_PERIODIC)
+            and box_for_pme is not None
+            and int(np.prod(_grid_shape(np.diag(np.asarray(box_for_pme)), cutoff))) >= 27
+        )
+        if not eligible:
+            backend = "tiled"
+    if backend in ("tiled", "pallas", "cells"):
         return _make_pair_backend_energy(
             nb,
             method=method,
@@ -211,6 +232,12 @@ def make_nonbonded_energy(
             backend=backend,
             masses=masses,
             frozen_ref_positions=frozen_ref_positions,
+            dispersion_correction=dispersion_correction,
+            switch_distance=switch_distance,
+        )
+    if switch_distance is not None and not (0.0 < switch_distance < cutoff):
+        raise ValueError(
+            f"switch_distance {switch_distance} must lie in (0, cutoff={cutoff})"
         )
     charges = np.asarray(nb.charge, np.float64)
     sigmas = np.asarray(nb.sigma, np.float64)
@@ -282,7 +309,8 @@ def make_nonbonded_energy(
 
     disp_coeff = (
         dispersion_correction_coeff(nb.sigma, nb.epsilon, cutoff)
-        if (method in (PME, CUTOFF_PERIODIC) and alchemical is None)
+        if (method in (PME, CUTOFF_PERIODIC) and alchemical is None
+            and dispersion_correction)
         else 0.0
     )
 
@@ -315,6 +343,11 @@ def make_nonbonded_energy(
             r2, sig, eps, lam_s, softcore_alpha, softcore_a, softcore_b
         )
         e_lj = jnp.where(scale_s, e_lj_soft, e_lj_plain)
+        if switch_distance is not None:
+            from .pairs import lj_switch
+
+            s_sw, _, _ = lj_switch(r2, cutoff, switch_distance)
+            e_lj = s_sw * e_lj
 
         # electrostatics: standard path with q_std
         fr = coulomb_kernel(r, method, cutoff, alpha, k_rf, c_rf)
@@ -414,6 +447,8 @@ def _make_pair_backend_energy(
     backend: str,
     masses=None,
     frozen_ref_positions=None,
+    dispersion_correction: bool = True,
+    switch_distance=None,
 ):
     """Large-system nonbonded energy: tiled/pallas pair sum + corrections.
 
@@ -465,7 +500,8 @@ def _make_pair_backend_energy(
     # disables it for the alchemical system, blues/simulation.py:229)
     disp_coeff = (
         dispersion_correction_coeff(nb.sigma, nb.epsilon, cutoff)
-        if (method in (PME, CUTOFF_PERIODIC) and alchemical is None)
+        if (method in (PME, CUTOFF_PERIODIC) and alchemical is None
+            and dispersion_correction)
         else 0.0
     )
     feats = build_pair_features(charges, nb.sigma, nb.epsilon, is_alch, active_rows)
@@ -493,6 +529,10 @@ def _make_pair_backend_energy(
         recip_fn_frozen = _mk_recip(
             pme_params, base_grid=base_grid, spread_subset=active_rows
         )
+    if switch_distance is not None and not (0.0 < switch_distance < cutoff):
+        raise ValueError(
+            f"switch_distance {switch_distance} must lie in (0, cutoff={cutoff})"
+        )
     periodic = method in (PME, CUTOFF_PERIODIC)
     common = dict(
         method=method,
@@ -503,11 +543,16 @@ def _make_pair_backend_energy(
         annihilate_sterics=sc.annihilate_sterics,
         softcore_alpha=sc.softcore_alpha,
         periodic=periodic,
+        switch_distance=switch_distance,
     )
     if backend == "pallas":
         from .pallas.pair_kernel import make_pallas_pair_sum
 
         pair_sum = make_pallas_pair_sum(feats, **common)
+    elif backend == "cells":
+        from .cells import make_cell_pair_sum
+
+        pair_sum = make_cell_pair_sum(feats, box0=box_for_pme, **common)
     else:
         pair_sum = make_tiled_pair_sum(feats, **common)
 
@@ -569,6 +614,8 @@ def _make_pair_backend_energy(
                 k_rf=k_rf,
                 c_rf=c_rf,
                 softcore_alpha=sc.softcore_alpha,
+                switch_distance=switch_distance,
+                cutoff=cutoff,
             )
             if use_cutoff:
                 e_x = jnp.where(r2 < cutoff * cutoff, e_x, 0.0)

@@ -101,6 +101,20 @@ def coulomb_plain(r2, qq):
     return e, g
 
 
+def lj_switch(r2, cutoff, switch_distance):
+    """OpenMM's LJ switching function S(r) and dS/dr on [rs, rc]:
+    S = 1 - 10 t^3 + 15 t^4 - 6 t^5, t = (r - rs)/(rc - rs)
+    (useSwitchingFunction/switchDistance createSystem kwargs the reference
+    forwards, blues/simulation.py:139-219)."""
+    inv_r = jax.lax.rsqrt(r2)
+    r = r2 * inv_r
+    width = cutoff - switch_distance
+    t = jnp.clip((r - switch_distance) / width, 0.0, 1.0)
+    s = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
+    ds_dr = t * t * (-30.0 + t * (60.0 - 30.0 * t)) / width
+    return s, ds_dr, inv_r
+
+
 def pair_energy_force(
     r2,
     sig,
@@ -118,10 +132,18 @@ def pair_energy_force(
     k_rf: float = 0.0,
     c_rf: float = 0.0,
     softcore_alpha: float = 0.5,
+    switch_distance: float = None,
+    cutoff: float = 0.0,
 ):
     """Full pair term on broadcastable arrays. Returns (e, g)."""
     lam_eff = jnp.where(scale_ster, lam_sterics, 1.0)
     e_lj, g_lj = softcore_lj(r2, sig, eps, lam_eff, softcore_alpha)
+    if switch_distance is not None:
+        # switching applies to the LJ term only (OpenMM convention);
+        # U_sw = S U, so (dU_sw/dr)/r = S g + (dS/dr) U / r
+        s, ds_dr, inv_r = lj_switch(r2, cutoff, switch_distance)
+        g_lj = s * g_lj + ds_dr * e_lj * inv_r
+        e_lj = s * e_lj
     qq = qq_std + f_na * qq_na + f_aa * qq_aa
     if method == "PME":
         e_el, g_el = coulomb_erfc(r2, qq, alpha_ewald)

@@ -44,7 +44,7 @@ F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH, F_INROWS = 0, 1, 2, 3, 4, 5
 R_GID, R_VALID = 5, 6
 
 
-def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, periodic, n_atoms):
+def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, periodic, n_atoms, switch_distance=None):
     use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
 
     def kernel(params_ref, xi_ref, xj_ref, fi_ref, fj_ref, out_ref):
@@ -104,6 +104,8 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
             k_rf=k_rf,
             c_rf=c_rf,
             softcore_alpha=softcore_alpha,
+            switch_distance=switch_distance,
+            cutoff=cutoff,
         )
         e = jnp.where(valid, e, 0.0)
         g = jnp.where(valid, g, 0.0)
@@ -132,6 +134,7 @@ def make_pallas_pair_sum(
     annihilate_sterics: bool,
     softcore_alpha: float = 0.5,
     periodic: bool = True,
+    switch_distance: float = None,
     interpret: bool = None,
 ):
     """Same interface as make_tiled_pair_sum: pair_sum(x, box, lam_s, f_na,
@@ -170,6 +173,7 @@ def make_pallas_pair_sum(
     kernel = _make_kernel(
         method, cutoff, alpha_ewald, k_rf, c_rf,
         1.0 if annihilate_sterics else 0.0, softcore_alpha, periodic, n,
+        switch_distance=switch_distance,
     )
 
     # park padded atoms far apart (q = eps = 0 anyway)

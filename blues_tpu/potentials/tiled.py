@@ -93,6 +93,7 @@ def make_tiled_pair_sum(
     annihilate_sterics: bool,
     softcore_alpha: float = 0.5,
     periodic: bool = True,
+    switch_distance: float = None,
 ):
     """Returns pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) with custom VJP
     on the energy (F reused as the pullback)."""
@@ -100,17 +101,21 @@ def make_tiled_pair_sum(
     nr, nr_pad = feats.n_rows, feats.n_rows_padded
     n_row_tiles = nr_pad // TILE
     row_idx = jnp.asarray(feats.row_idx)
-    qs = jnp.asarray(feats.q_std, jnp.float32)
-    qa = jnp.asarray(feats.q_alch, jnp.float32)
-    sig = jnp.asarray(feats.sigma, jnp.float32)
-    eps = jnp.asarray(feats.epsilon, jnp.float32)
-    af = jnp.asarray(feats.alch, jnp.float32)
-    inr = jnp.asarray(feats.in_rows, jnp.float32)
     ann = 1.0 if annihilate_sterics else 0.0
     use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
 
     def _pass(x, box, lam_s, f_na, f_aa):
         dtype = x.dtype
+        # features at the positions dtype: f32 in production, full f64 under
+        # enable_x64 (the golden-parity tests) — hard-rounding to f32 here
+        # while the exclusion subtraction runs in f64 leaves uncancelled
+        # rounding error on the huge excluded bonded-overlap LJ terms
+        qs = jnp.asarray(feats.q_std, dtype)
+        qa = jnp.asarray(feats.q_alch, dtype)
+        sig = jnp.asarray(feats.sigma, dtype)
+        eps = jnp.asarray(feats.epsilon, dtype)
+        af = jnp.asarray(feats.alch, dtype)
+        inr = jnp.asarray(feats.in_rows, dtype)
         xp = jnp.zeros((npad, 3), dtype).at[:n].set(x)
         # park padded atoms on a far-away diagonal line so r2 > 0 always;
         # their q/eps are zero so they contribute nothing inside the cutoff
@@ -155,6 +160,7 @@ def make_tiled_pair_sum(
                 lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
                 alpha_ewald=alpha_ewald, k_rf=k_rf, c_rf=c_rf,
                 softcore_alpha=softcore_alpha,
+                switch_distance=switch_distance, cutoff=cutoff,
             )
             e = jnp.where(valid, e, 0.0)
             g = jnp.where(valid, g, 0.0)

@@ -50,12 +50,50 @@ def _iters_interval(report_interval: int, steps_per_iter: int) -> int:
     return max(1, report_interval)
 
 
+def _steps_per_iter(sim, source: str) -> int:
+    """Integrator steps one driver iteration advances the given source by
+    (ncmc reporters count propagation steps, md reporters MD steps) — the
+    per-Simulation step accounting of the reference's attached reporters."""
+    if source == "ncmc":
+        return getattr(sim, "propSteps", sim.cfg.nstepsNC)
+    return sim.cfg.nstepsMD
+
+
 class BaseReporter:
+    #: subclasses set these; interval conversion happens exactly once
+    interval: int = 1
+    source: str = "md"
+    _interval_converted: bool = False
+
+    def _interval_iters(self, sim) -> int:
+        """Step-valued reportInterval -> iteration cadence, converted once
+        on first use (re-dividing per call would collapse any cadence to 1)."""
+        if not self._interval_converted:
+            self.interval = _iters_interval(self.interval, _steps_per_iter(sim, self.source))
+            self._interval_converted = True
+        return self.interval
+
     def report(self, sim, iteration, stats, md_frames, ncmc_frames):
         raise NotImplementedError
 
     def close(self):
         pass
+
+
+def _ncmc_frame_data(sim, ncmc_frames):
+    """Unpack NCMCFrames -> (positions (K,N,3) of replica 0, per-frame work
+    in kT, per-frame master lambda). Returns (None, None, None) if absent."""
+    if ncmc_frames is None or getattr(ncmc_frames, "positions", None) is None:
+        return None, None, None
+    pos = np.asarray(ncmc_frames.positions)
+    work = np.asarray(ncmc_frames.work)
+    if pos.ndim == 4:  # replica batch: write replica 0
+        pos, work = pos[0], work[0]
+    work = work / units.kT(sim.cfg.temperature)
+    lams = np.asarray(getattr(sim, "ncmc_frame_lambdas", ()) or np.zeros(pos.shape[0]))
+    if lams.shape[0] != pos.shape[0]:
+        lams = np.zeros(pos.shape[0])
+    return pos, work, lams
 
 
 class StateDataReporter(BaseReporter):
@@ -96,19 +134,15 @@ class StateDataReporter(BaseReporter):
         # step accounting follows the attached simulation, like the
         # reference's per-Simulation reporters (md counts MD steps, ncmc
         # counts propagation steps)
-        steps_per_iter = (
-            getattr(sim, "propSteps", sim.cfg.nstepsNC)
-            if self.source == "ncmc"
-            else sim.cfg.nstepsMD
-        )
+        steps_per_iter = _steps_per_iter(sim, self.source)
         self._steps_done += steps_per_iter
+        interval = self._interval_iters(sim)
         if self._t0 is None:
             self._t0 = time.time()
             self._iters_timed = 0
-            self.interval = _iters_interval(self.interval, steps_per_iter)
             return
         self._iters_timed += 1
-        if (iteration + 1) % self.interval:
+        if (iteration + 1) % interval:
             return
         cols = [f"[{self.title}]"]
         if self.flags["currentIter"]:
@@ -150,6 +184,15 @@ class NetCDFReporter(BaseReporter):
         self.protocolWork = protocolWork
         self.alchemicalLambda = alchemicalLambda
         self.source = source  # 'md' -> md_frames, 'ncmc' -> ncmc snapshot frames
+        #: which NCMC frames are collected is configured on the driver
+        #: (SimulationConfig.ncmc_frame_indices, wired by create_simulation);
+        #: kept here for provenance only
+        self.frame_indices = tuple(frame_indices or ())
+        if self.frame_indices:
+            # frame_indices supersedes interval cadence (reference
+            # blues/reporters.py:362-371): write the snapshots every iteration
+            self.interval = 1
+            self._interval_converted = True
         self._nc = None
         self._frame = 0
 
@@ -184,30 +227,24 @@ class NetCDFReporter(BaseReporter):
         self._nc = nc
 
     def report(self, sim, iteration, stats, md_frames, ncmc_frames):
-        self.interval = _iters_interval(self.interval, sim.cfg.nstepsMD)
-        if (iteration + 1) % self.interval:
+        if (iteration + 1) % self._interval_iters(sim):
             return
         if self.source == "ncmc":
-            frames = ncmc_frames
+            frames, works, lams = _ncmc_frame_data(sim, ncmc_frames)
         else:
             frames = md_frames
+            if frames is not None:
+                frames = np.asarray(frames)
+                if frames.ndim == 4:  # replica batch: write replica 0
+                    frames = frames[0]
+            works = lams = None
         if frames is None:
             return
-        frames = np.asarray(frames)
-        if frames.ndim == 4:  # replica batch: write replica 0
-            frames = frames[0]
         box = np.asarray(sim.state.box)
         if box.ndim == 3:
             box = box[0]
         if self._nc is None:
             self._init(frames.shape[1], box)
-        kT = units.kT(sim.cfg.temperature)
-        works = {
-            0: 0.0,
-            1: float(np.mean(np.asarray(stats.mid_work))) / kT,
-            frames.shape[0] - 1: float(np.mean(np.asarray(stats.protocol_work))) / kT,
-        }
-        lams = {0: 0.0, 1: 0.5, frames.shape[0] - 1: 1.0}
         for k, fr in enumerate(frames):
             i = self._frame
             self._nc.variables["coordinates"][i] = fr * 10.0
@@ -216,9 +253,9 @@ class NetCDFReporter(BaseReporter):
                 self._nc.variables["cell_lengths"][i] = np.diagonal(box) * 10.0
                 self._nc.variables["cell_angles"][i] = [90.0, 90.0, 90.0]
             if self.protocolWork:
-                self._nc.variables["protocolWork"][i] = works.get(k, 0.0)
+                self._nc.variables["protocolWork"][i] = float(works[k]) if works is not None else 0.0
             if self.alchemicalLambda:
-                self._nc.variables["alchemicalLambda"][i] = lams.get(k, 0.0)
+                self._nc.variables["alchemicalLambda"][i] = float(lams[k]) if lams is not None else 0.0
             self._frame += 1
         self._nc.flush()
 
@@ -232,13 +269,18 @@ class HDF5Reporter(BaseReporter):
     """mdtraj-HDF5-style trajectory with BLUES extension fields."""
 
     def __init__(self, filename, reportInterval: int = 1, protocolWork: bool = True,
-                 alchemicalLambda: bool = True, parameters=None, source: str = "ncmc"):
+                 alchemicalLambda: bool = True, parameters=None, source: str = "ncmc",
+                 frame_indices=()):
         self.filename = filename
         self.interval = max(int(reportInterval), 1)
         self.protocolWork = protocolWork
         self.alchemicalLambda = alchemicalLambda
         self.parameters = parameters
         self.source = source
+        self.frame_indices = tuple(frame_indices or ())
+        if self.frame_indices:
+            self.interval = 1
+            self._interval_converted = True
         self._h5 = None
         self._frame = 0
 
@@ -266,27 +308,24 @@ class HDF5Reporter(BaseReporter):
         self._h5 = h5
 
     def report(self, sim, iteration, stats, md_frames, ncmc_frames):
-        self.interval = _iters_interval(self.interval, sim.cfg.nstepsMD)
-        if (iteration + 1) % self.interval:
+        if (iteration + 1) % self._interval_iters(sim):
             return
-        frames = ncmc_frames if self.source == "ncmc" else md_frames
+        if self.source == "ncmc":
+            frames, works, lams = _ncmc_frame_data(sim, ncmc_frames)
+        else:
+            frames = md_frames
+            if frames is not None:
+                frames = np.asarray(frames)
+                if frames.ndim == 4:
+                    frames = frames[0]
+            works = lams = None
         if frames is None:
             return
-        frames = np.asarray(frames)
-        if frames.ndim == 4:
-            frames = frames[0]
         if self._h5 is None:
             self._init(frames.shape[1])
         box = np.asarray(sim.state.box)
         if box.ndim == 3:
             box = box[0]
-        kT = units.kT(sim.cfg.temperature)
-        works = {
-            0: 0.0,
-            1: float(np.mean(np.asarray(stats.mid_work))) / kT,
-            frames.shape[0] - 1: float(np.mean(np.asarray(stats.protocol_work))) / kT,
-        }
-        lams = {0: 0.0, 1: 0.5, frames.shape[0] - 1: 1.0}
         n_new = frames.shape[0]
         for name in ("coordinates", "time", "cell_lengths", "cell_angles",
                      "protocolWork", "alchemicalLambda"):
@@ -300,9 +339,9 @@ class HDF5Reporter(BaseReporter):
             self._h5["cell_lengths"][i] = np.diagonal(box)
             self._h5["cell_angles"][i] = [90.0, 90.0, 90.0]
             if self.protocolWork:
-                self._h5["protocolWork"][i] = works.get(k, 0.0)
+                self._h5["protocolWork"][i] = float(works[k]) if works is not None else 0.0
             if self.alchemicalLambda:
-                self._h5["alchemicalLambda"][i] = lams.get(k, 0.0)
+                self._h5["alchemicalLambda"][i] = float(lams[k]) if lams is not None else 0.0
             self._frame += 1
         self._h5.flush()
 
@@ -318,8 +357,7 @@ class RestartReporter(BaseReporter):
         self.interval = max(int(reportInterval), 1)
 
     def report(self, sim, iteration, stats, md_frames, ncmc_frames):
-        self.interval = _iters_interval(self.interval, sim.cfg.nstepsMD)
-        if (iteration + 1) % self.interval:
+        if (iteration + 1) % self._interval_iters(sim):
             return
         s = sim.state
         x = np.asarray(s.positions)
@@ -385,7 +423,6 @@ class ReporterConfig:
             )
         if "traj_netcdf" in c:
             kw = dict(c["traj_netcdf"] or {})
-            kw.pop("frame_indices", None)
             reps.append(
                 NetCDFReporter(f"{self.outfname}.nc", source=self.source, **kw)
             )

@@ -26,7 +26,7 @@ from __future__ import annotations
 import logging
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,11 @@ from ..core.system import System
 from ..integrators.constraints import make_constraint_fns
 from ..integrators.langevin import LangevinParams, make_md_step
 from ..integrators.ncmc import make_ncmc_protocol
-from ..integrators.schedules import build_ncmc_schedule, calculate_ncmc_steps
+from ..integrators.schedules import (
+    build_ncmc_schedule,
+    calculate_ncmc_steps,
+    resolve_frame_indices,
+)
 from ..potentials.energy import make_energy_fn, make_force_fn
 
 logger = logging.getLogger("blues_tpu.simulation")
@@ -59,6 +63,7 @@ class SimulationConfig:
     alchemical_functions: Optional[dict] = None
     nonbonded_method: str = "NoCutoff"
     cutoff: float = 1.0  # nm
+    switch_distance: Optional[float] = None  # nm; LJ switching (OpenMM S(r))
     ewald_tolerance: float = 5e-4
     alchemical_pme_treatment: str = "direct-space"
     md_report_interval: Optional[int] = None  # collect MD frames every k steps
@@ -68,6 +73,10 @@ class SimulationConfig:
     constraint_tolerance: float = 1e-6
     use_pallas: Optional[bool] = None
     nonbonded_backend: str = "auto"
+    #: NCMC snapshot schedule in integrator-step units, with the reference's
+    #: sentinels (0.5 -> moveStep, -1 -> last step; blues/settings.py:271-277).
+    #: None = the default (0, moveStep, nstepsNC) protocol start/mid/end.
+    ncmc_frame_indices: Optional[tuple] = None
 
 
 @pytree_dataclass
@@ -79,6 +88,15 @@ class IterationStats:
     md_potential: jax.Array  # kJ/mol at iteration end
     ncmc_potential: jax.Array  # alchemical potential at protocol end
     mid_work: jax.Array  # protocol work accumulated at the midpoint move
+    selected_move: jax.Array  # index of the move chosen this iteration
+
+
+class NCMCFrames(NamedTuple):
+    """NCMC snapshot frames + the protocol work at each snapshot. Frame
+    lambdas are static: BLUESSimulation.ncmc_frame_lambdas."""
+
+    positions: jax.Array  # (K, N, 3)
+    work: jax.Array  # (K,) kJ/mol
 
 
 class BLUESSimulation:
@@ -104,6 +122,7 @@ class BLUESSimulation:
         common = dict(
             nonbonded_method=config.nonbonded_method,
             cutoff=config.cutoff,
+            switch_distance=config.switch_distance,
             ewald_tolerance=config.ewald_tolerance,
             use_pallas=config.use_pallas,
             nonbonded_backend=config.nonbonded_backend,
@@ -133,6 +152,19 @@ class BLUESSimulation:
             prop_lambda=config.propLambda,
             move_step=self.moveStep,
         )
+        # NCMC snapshot schedule (reference frame_indices semantics,
+        # blues/settings.py:271-277): step numbers -> protocol micro indices
+        if config.ncmc_frame_indices is None:
+            frame_steps = tuple(
+                sorted({0, min(self.moveStep, self.nstepsNC), self.nstepsNC})
+            )
+        else:
+            frame_steps = resolve_frame_indices(
+                config.ncmc_frame_indices, self.nstepsNC, self.moveStep
+            )
+        self.ncmc_frame_steps = frame_steps
+        self.ncmc_frame_lambdas = tuple(s / self.nstepsNC for s in frame_steps)
+        record_micro = tuple(int(self.schedule.micro_of_step[s]) for s in frame_steps)
         lp = LangevinParams(config.dt, config.friction, config.temperature)
         self.langevin_params = lp
         self.protocol_fn = make_ncmc_protocol(
@@ -144,6 +176,7 @@ class BLUESSimulation:
             constrain_v,
             self.schedule,
             move=move,
+            record_micro=record_micro,
         )
         self._md_step = make_md_step(
             self.force_md, system.masses, lp, constrain_x, constrain_v
@@ -167,9 +200,16 @@ class BLUESSimulation:
         self._iteration = jax.jit(self._iteration)
 
         self.state: Optional[SimState] = None
+        #: persistent MC-barostat state (adapted proposal size + counters),
+        #: carried across iterations (OpenMM keeps these on the force object)
+        self.barostat_state = None
         self.accept_counter = 0
         self.iteration_count = 0
         self.stats_history: list = []
+        n_moves = len(move.moves) if hasattr(move, "moves") else 1
+        #: per-move (attempted, accepted) counters, aggregated by run()
+        #: (reference logs per-run acceptance, blues/simulation.py:1255-1257)
+        self.move_stats = np.zeros((n_moves, 2))
 
     # ------------------------------------------------------------------
     def _build_iteration(self) -> Callable:
@@ -182,11 +222,12 @@ class BLUESSimulation:
         n_md = cfg.nstepsMD
         interval = cfg.md_report_interval
 
-        def iteration(x, v, box, key):
+        has_barostat = self._barostat is not None
+
+        def iteration(x, v, box, key, bstate):
             key, k_acc, k_vel = jax.random.split(key, 3)
 
             # --- NCMC stage (sync MD->NCMC is free: same pytree) -----------
-            x0_ncmc = x
             e_md0 = energy_md(x, box, None)
             res = protocol_fn(x, v, box, key)
             key = res.rng_key
@@ -210,33 +251,42 @@ class BLUESSimulation:
             chunk_size = interval if interval is not None else (
                 cfg.barostat_frequency if barostat is not None else max(n_md, 1)
             )
-            n_chunks = max(n_md // max(chunk_size, 1), 0)
+            chunk_size = max(min(chunk_size, max(n_md, 1)), 1)
+            n_chunks = n_md // chunk_size if n_md > 0 else 0
+            n_rem = n_md - n_chunks * chunk_size  # leftover steps < chunk_size
 
             def chunk(carry, _):
-                x, v, f, key, box, bscale = carry
+                x, v, f, key, box, bstate = carry
                 inner = (x, v, f, key, box)
                 inner, _ = jax.lax.scan(md_step, inner, None, length=chunk_size)
                 x, v, f, key, box = inner
                 if barostat is not None:
                     key, bk = jax.random.split(key)
-                    from ..integrators.barostat import BarostatState
-
-                    bstate = BarostatState(bscale, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
                     x, box, bstate = barostat(x, box, bk, bstate)
-                    bscale = bstate.volume_scale
                     _, f = self.force_md(x, box, None)
-                return (x, v, f, key, box, bscale), x
+                return (x, v, f, key, box, bstate), x
 
-            if n_md > 0 and n_chunks > 0:
-                bscale0 = 0.01 * box[0, 0] * box[1, 1] * box[2, 2]
-                carry = (x, v, f0, key, box, bscale0)
+            frames = None
+            carry = (x, v, f0, key, box, bstate)
+            if n_chunks > 0:
                 carry, frames_all = jax.lax.scan(chunk, carry, None, length=n_chunks)
-                x, v, _, key, box, _ = carry
                 frames = frames_all if interval is not None else None
-            else:
-                frames = None
+            if n_rem > 0:
+                # remainder MD steps (no barostat attempt, no frame)
+                x, v, f, key, box, bstate = carry
+                inner = (x, v, f, key, box)
+                inner, _ = jax.lax.scan(md_step, inner, None, length=n_rem)
+                x, v, f, key, box = inner
+                carry = (x, v, f, key, box, bstate)
+            x, v, _, key, box, bstate = carry
 
             e_md_end = energy_md(x, box, None)
+            aux = res.move_aux
+            selected = (
+                aux["selected"]
+                if isinstance(aux, dict) and "selected" in aux
+                else jnp.zeros((), jnp.int32)
+            )
             stats = IterationStats(
                 accepted=accepted,
                 protocol_work=res.protocol_work,
@@ -245,16 +295,24 @@ class BLUESSimulation:
                 md_potential=e_md_end,
                 ncmc_potential=res.e_final,
                 mid_work=res.mid_work,
+                selected_move=selected,
             )
-            # NCMC snapshot frames: protocol start / midpoint / end
-            # (the reference's frame_indices sentinels 1 / 0.5 / -1,
-            # blues/settings.py:271-277)
-            ncmc_frames = jnp.stack([x0_ncmc, res.mid_positions, res.positions])
-            return (x, v, box, key), stats, frames, ncmc_frames
+            # NCMC snapshot frames at the configured frame_indices
+            # (default: protocol start / midpoint / end; reference sentinels
+            # 1 / 0.5 / -1, blues/settings.py:271-277)
+            ncmc_frames = NCMCFrames(res.snapshots, res.snapshot_work)
+            return (x, v, box, key), stats, frames, ncmc_frames, bstate
 
-        def wrapped(state_xvb, keys):
-            x, v, box = state_xvb
-            return iteration(x, v, box, keys)
+        def wrapped(state_in, keys):
+            if has_barostat:
+                x, v, box, bstate = state_in
+            else:
+                x, v, box = state_in
+                bstate = None
+            out, stats, frames, ncmc_frames, bstate = iteration(x, v, box, keys, bstate)
+            x, v, box, key = out
+            state_out = (x, v, box, bstate, key) if has_barostat else (x, v, box, key)
+            return state_out, stats, frames, ncmc_frames
 
         return wrapped
 
@@ -322,12 +380,32 @@ class BLUESSimulation:
         self.state = SimState(x, s.velocities, s.box, s.rng_key)
         return self.state
 
+    def _init_barostat_state(self):
+        box = self.state.box
+        R = self.cfg.n_replicas
+        box0 = box[0] if (R > 1 and box.ndim == 3) else box
+        bstate = self._barostat.init_state(np.asarray(box0))
+        if R > 1:
+            bstate = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (R,) + a.shape), bstate
+            )
+        return bstate
+
     def run_iteration(self):
         """One MD<->NCMC iteration; returns (stats, md_frames, ncmc_frames)."""
         s = self.state
-        (x, v, box, key), stats, frames, ncmc_frames = self._iteration(
-            (s.positions, s.velocities, s.box), s.rng_key
-        )
+        if self._barostat is not None:
+            if self.barostat_state is None:
+                self.barostat_state = self._init_barostat_state()
+            state_in = (s.positions, s.velocities, s.box, self.barostat_state)
+        else:
+            state_in = (s.positions, s.velocities, s.box)
+        state_out, stats, frames, ncmc_frames = self._iteration(state_in, s.rng_key)
+        if self._barostat is not None:
+            x, v, box, bstate, key = state_out
+            self.barostat_state = bstate
+        else:
+            x, v, box, key = state_out
         self.state = SimState(x, v, box, key)
         self.iteration_count += 1
         return stats, frames, ncmc_frames
@@ -341,13 +419,25 @@ class BLUESSimulation:
         n_total = 0.0
         for it in range(n_iter):
             stats, frames, ncmc_frames = self.run_iteration()
-            acc = np.asarray(stats.accepted)
+            acc = np.atleast_1d(np.asarray(stats.accepted))
+            sel = np.atleast_1d(np.asarray(stats.selected_move))
             n_accept += float(acc.sum())
             n_total += float(acc.size)
+            np.add.at(self.move_stats[:, 0], sel, 1.0)
+            np.add.at(self.move_stats[:, 1], sel, acc.astype(np.float64))
             self.stats_history.append(jax.tree.map(np.asarray, stats))
             for rep in reporters:
                 rep.report(self, it, stats, frames, ncmc_frames)
         ratio = n_accept / max(n_total, 1.0)
         logger.info("Acceptance Ratio: %s", ratio)
         logger.info("nIter: %s", n_iter)
+        moves = getattr(self.move, "moves", [self.move])
+        if len(moves) > 1:
+            for i, m in enumerate(moves):
+                att, acc_i = self.move_stats[i]
+                logger.info(
+                    "  %s: accepted %d / attempted %d (%.3f)",
+                    type(m).__name__, int(acc_i), int(att),
+                    acc_i / att if att else float("nan"),
+                )
         return ratio

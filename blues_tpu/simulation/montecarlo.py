@@ -42,6 +42,7 @@ class MonteCarloSimulation:
             system.replace(alchemical=None),
             nonbonded_method=config.nonbonded_method,
             cutoff=config.cutoff,
+            switch_distance=config.switch_distance,
             ewald_tolerance=config.ewald_tolerance,
             nonbonded_backend=config.nonbonded_backend,
         )
@@ -65,21 +66,24 @@ class MonteCarloSimulation:
         mc_per_iter = self.mc_per_iter
 
         def mc_step(carry, _):
-            x, key = carry
-            key, kp, ka = jax.random.split(key, 3)
-            e0 = energy(x, None, None)
-            x_new, _ = move.propose(kp, x, None, move.init_aux())
-            e1 = energy(x_new, None, None)
+            # box rides the scan carry so periodic systems (PME / cutoff
+            # minimum-image) get correct proposal energies, matching the MD
+            # stage of the same iteration
+            x, key, box = carry
+            key, ksel, kp, ka = jax.random.split(key, 4)
+            e0 = energy(x, box, None)
+            x_new, _ = move.propose(kp, x, box, move.select(ksel))
+            e1 = energy(x_new, box, None)
             d = (e1 - e0) / kT
             accept = jnp.isfinite(d) & (
                 -d > jnp.log(jax.random.uniform(ka, (), x.dtype))
             )
             x = jnp.where(accept, x_new, x)
-            return (x, key), (accept, e1 - e0)
+            return (x, key, box), (accept, e1 - e0)
 
         def iteration(x, v, key, box):
-            (x, key), (accepts, dpes) = jax.lax.scan(
-                mc_step, (x, key), None, length=mc_per_iter
+            (x, key, box), (accepts, dpes) = jax.lax.scan(
+                mc_step, (x, key, box), None, length=mc_per_iter
             )
             key, kv = jax.random.split(key)
             v = maxwell_boltzmann_velocities(kv, self.system.masses, cfg.temperature, x.dtype)

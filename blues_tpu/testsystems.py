@@ -14,6 +14,8 @@ statistical test reproduces.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .core.system import (
@@ -130,6 +132,82 @@ def charged_ethylene():
         ]
     )
     return system, positions
+
+
+def t4_scale_binding_site_box(
+    n_atoms: int = 22340, n_peptides: int = 24, seed: int = 0
+):
+    """Toluene in a shell of divaline peptides (real Amber force-field
+    parameters from the reference's vacDivaline.prmtop) solvated in TIP3P
+    at the T4-lysozyme benchmark scale (22,340 atoms,
+    reference: blues/tests/data/eqToluene.inpcrd:2).
+
+    The production protocol freezes everything outside 5 A of the ligand
+    AND all solvent (reference blues/simulation.py:400-433), so on a pure
+    water box the mobile set degenerates to the ligand alone. This system
+    surrounds the ligand with peptides so the mobile set is binding-site
+    like: protein residues within the radius stay mobile and their bonded
+    terms run in the hot loop, as in the real T4 protocol.
+
+    Returns (System, positions) with the toluene marked alchemical.
+    Requires the reference data directory; see t4_scale_toluene_box for the
+    data-free fallback.
+    """
+    import os
+
+    from .core.amber_coords import load_inpcrd
+    from .core.build import merge_systems, solvated_ligand_box
+    from .core.prmtop import load_prmtop
+    from .core.system import AlchemicalRegion
+    from .ligands import toluene_system
+
+    data = "/root/reference/blues/tests/data"
+    if not os.path.isdir(data):
+        raise FileNotFoundError(
+            "reference data directory unavailable; use t4_scale_toluene_box"
+        )
+    rng = np.random.default_rng(seed)
+    lig, lig_x = toluene_system()
+    pep = load_prmtop(f"{data}/vacDivaline.prmtop")
+    pep_x = load_inpcrd(f"{data}/vacDivaline.inpcrd").positions
+    pep_x = pep_x - pep_x.mean(0)
+
+    solute, x = lig, np.asarray(lig_x) - np.asarray(lig_x).mean(0)
+    # pack peptides around the ligand: for each Fibonacci-sphere direction,
+    # push the (randomly rotated) peptide outward until it just clears the
+    # already-placed solute — a snug shell, like binding-site residues
+    contact = 0.30  # nm minimum heavy-atom clearance
+    for k in range(n_peptides):
+        i = k + 0.5
+        phi = math.acos(1.0 - 2.0 * i / n_peptides)
+        theta = math.pi * (1.0 + 5.0**0.5) * i
+        u = np.array(
+            [
+                math.sin(phi) * math.cos(theta),
+                math.sin(phi) * math.sin(theta),
+                math.cos(phi),
+            ]
+        )
+        # random proper rotation (QR of a gaussian matrix)
+        q, r_ = np.linalg.qr(rng.standard_normal((3, 3)))
+        q *= np.sign(np.diag(r_))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1.0
+        pk = pep_x @ q.T
+        t = 0.3
+        while True:
+            cand = pk + t * u
+            dmin = np.sqrt(
+                ((cand[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+            ).min()
+            if dmin >= contact:
+                break
+            t += 0.03
+        solute, x = merge_systems(solute, x, pep, pk + t * u)
+    x = x - x.mean(0)
+    system, positions = solvated_ligand_box(solute, x, n_atoms, seed=seed)
+    lig_idx = system.topology.select_resname("LIG")
+    return system.replace(alchemical=AlchemicalRegion(atoms=lig_idx)), positions
 
 
 def t4_scale_toluene_box(n_atoms: int = 22340, seed: int = 0):

@@ -1,34 +1,28 @@
-"""Sidechain torsion NCMC example (open-source rotatable-bond perception).
+"""Sidechain torsion NCMC example, YAML-driven (open-source rotatable-bond
+perception — no OpenEye license requirement).
 
-Equivalent workflow to the reference's examples/example_sidechain.py, on
-the divaline test peptide, without the OpenEye license requirement.
+Equivalent workflow to the reference's examples/example_sidechain.py +
+sidechain_cuda.yml on the divaline test peptide.
 """
 
-import jax
+import sys
 
-from blues_tpu.core.amber_coords import load_inpcrd
-from blues_tpu.core.prmtop import load_prmtop
+from blues_tpu.config import Settings, create_simulation, load_structure
 from blues_tpu.moves import SideChainMove
-from blues_tpu.simulation import BLUESSimulation, SimulationConfig
-
-DATA = "/root/reference/blues/tests/data"
 
 
-def main():
-    system = load_prmtop(f"{DATA}/vacDivaline.prmtop")
-    crd = load_inpcrd(f"{DATA}/vacDivaline.inpcrd")
+def main(yaml_path):
+    settings = Settings(yaml_path)
+    cfg = settings.asDict()
+    system, _, _ = load_structure(cfg)
     move = SideChainMove(system.topology, {2}, system.masses)
     print(f"rotatable bonds in residue 2: {move.n_rotatable}")
-    cfg = SimulationConfig(
-        nIter=10, nstepsNC=100, nstepsMD=100, temperature=300.0, dt=0.002,
-        nonbonded_method="NoCutoff",
-    )
-    sim = BLUESSimulation(system, move, cfg)
-    sim.initialize(crd.positions, key=jax.random.PRNGKey(0))
-    sim.minimize(500)
-    ratio = sim.run()
+    sim, md_reps, ncmc_reps = create_simulation(settings, move=move)
+    ratio = sim.run(reporters=md_reps + ncmc_reps)
+    for rep in md_reps + ncmc_reps:
+        rep.close()
     print(f"Acceptance ratio: {ratio:.3f}")
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "examples/sidechain.yml")

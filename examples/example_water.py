@@ -1,43 +1,37 @@
-"""Water-hopping NCMC (WaterTranslationMove) example.
+"""Water-hopping NCMC (WaterTranslationMove) example, YAML-driven.
 
-Equivalent workflow to the reference's examples/example_water.py: the
-designated alchemical water is swapped with a random water within a sphere
-of the ligand and translated to a random point; out-of-sphere endings are
-vetoed.
+Equivalent workflow to the reference's examples/example_water.py +
+water_cuda.yaml: the designated alchemical water is swapped with a random
+water within a sphere of the ligand and translated to a random point;
+out-of-sphere endings are vetoed. Reporters come from the YAML's
+md_reporters / ncmc_reporters blocks.
 """
 
 import sys
 
-import jax
-
-from blues_tpu.config import Settings, load_structure
+from blues_tpu import units
+from blues_tpu.config import Settings, create_simulation, load_structure
 from blues_tpu.moves import WaterTranslationMove
-from blues_tpu.simulation import BLUESSimulation, SimulationConfig
 
 
 def main(yaml_path):
-    cfg = Settings(yaml_path).asDict()
-    system, positions, velocities = load_structure(cfg)
-    sim_cfg = cfg["simulation"]
-    lig = system.topology.select_resname("LIG")
+    settings = Settings(yaml_path)
+    cfg = settings.asDict()
+    system, _, _ = load_structure(cfg)
+    lig_resname = (cfg.get("ligand", {}) or {}).get("resname", "LIG")
+    lig = system.topology.select_resname(lig_resname)
+    radius = units.parse_quantity(
+        (cfg.get("water", {}) or {}).get("radius", 20.0), "angstroms"
+    )
     move = WaterTranslationMove(
-        system.topology, system.masses, protein_atoms=lig, radius=0.7
+        system.topology, system.masses, protein_atoms=lig, radius=radius
     )
-    config = SimulationConfig(
-        nIter=int(sim_cfg.get("nIter", 10)),
-        nstepsNC=int(sim_cfg.get("nstepsNC", 100)),
-        nstepsMD=int(sim_cfg.get("nstepsMD", 100)),
-        temperature=float(sim_cfg.get("temperature", 300.0)),
-        dt=float(sim_cfg.get("dt", 0.002)),
-        nonbonded_method="PME",
-        cutoff=float(cfg["system"].get("nonbondedCutoff", 0.9)),
-    )
-    sim = BLUESSimulation(system, move, config)
-    sim.initialize(positions, key=jax.random.PRNGKey(0))
-    sim.minimize(int(sim_cfg.get("minimize", 1000)))
-    ratio = sim.run()
+    sim, md_reps, ncmc_reps = create_simulation(settings, move=move)
+    ratio = sim.run(reporters=md_reps + ncmc_reps)
+    for rep in md_reps + ncmc_reps:
+        rep.close()
     print(f"Acceptance ratio: {ratio:.3f}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "examples/rotmove.yml")
+    main(sys.argv[1] if len(sys.argv) > 1 else "examples/water.yml")

@@ -1,0 +1,100 @@
+"""Cell-list backend: agreement with the tiled O(N^2) reference backend.
+
+The cell list is a pure acceleration structure — for any configuration
+whose pairs all fit the grid, energies and forces must match the tiled
+backend to f32 roundoff. Also covers: alchemical lambda scaling, frozen-row
+compaction, NPT-shrink poisoning, and the auto-backend eligibility fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blues_tpu.core.build import solvated_ligand_box
+from blues_tpu.core.system import AlchemicalRegion
+from blues_tpu.ligands import toluene_system
+from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
+
+
+@pytest.fixture(scope="module")
+def water_tol_system():
+    lig, lig_x = toluene_system()
+    system, x = solvated_ligand_box(lig, lig_x, 3000, seed=1)
+    lig_idx = system.topology.select_resname("LIG")
+    system = system.replace(alchemical=AlchemicalRegion(atoms=lig_idx))
+    return system, jnp.asarray(x, jnp.float32)
+
+
+def _efn(system, backend, **kw):
+    return make_energy_fn(
+        system, nonbonded_method="PME", cutoff=0.9,
+        nonbonded_backend=backend, **kw,
+    )
+
+
+@pytest.mark.parametrize("lam", [1.0, 0.5, 0.0])
+def test_cells_match_tiled_energy_forces(water_tol_system, lam):
+    """f64 comparison: the cell list is pure bookkeeping, so agreement must
+    be at roundoff (the unminimized lattice box has ~1e7 clash forces that
+    amplify f32 summation-order noise past any useful f32 tolerance)."""
+    system, x = water_tol_system
+    g = {"lambda_sterics": lam, "lambda_electrostatics": lam}
+    with jax.enable_x64(True):
+        x64 = jnp.asarray(np.asarray(x), jnp.float64)
+        box = jnp.asarray(np.asarray(system.box), jnp.float64)
+        e_t, f_t = make_force_fn(_efn(system, "tiled"))(x64, box, g)
+        e_c, f_c = make_force_fn(_efn(system, "cells"))(x64, box, g)
+        assert float(jnp.abs(e_c - e_t)) / (abs(float(e_t)) + 1.0) < 1e-10
+        fdiff = float(jnp.max(jnp.abs(f_c - f_t)))
+        assert fdiff / (float(jnp.max(jnp.abs(f_t))) + 1.0) < 1e-10
+
+
+def test_cells_match_with_frozen_rows(water_tol_system):
+    system, x = water_tol_system
+    lig = system.topology.select_resname("LIG")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        frozen = system.freeze_radius(np.asarray(x), lig, 0.6, solvent_resnames=())
+    with jax.enable_x64(True):
+        x64 = jnp.asarray(np.asarray(x), jnp.float64)
+        box = jnp.asarray(np.asarray(system.box), jnp.float64)
+        e_t, f_t = make_force_fn(_efn(frozen, "tiled"))(x64, box, None)
+        e_c, f_c = make_force_fn(_efn(frozen, "cells"))(x64, box, None)
+        assert float(jnp.abs(e_c - e_t)) / (abs(float(e_t)) + 1.0) < 1e-10
+        assert (
+            float(jnp.max(jnp.abs(f_c - f_t)))
+            / (float(jnp.max(jnp.abs(f_t))) + 1.0)
+            < 1e-10
+        )
+
+
+def test_cells_poison_on_shrunken_box(water_tol_system):
+    system, x = water_tol_system
+    box = jnp.asarray(system.box, jnp.float32)
+    efn = _efn(system, "cells")
+    # shrinking the box below grid validity must poison, not silently drop
+    e_bad = efn(x * 0.5, box * 0.5, None)
+    assert not np.isfinite(float(e_bad))
+
+
+def test_cells_auto_fallback_small_box():
+    """A box too small for a 3x3x3 grid silently falls back to tiled."""
+    import os
+
+    DATA = "/root/reference/blues/tests/data"
+    if not os.path.isdir(DATA):
+        pytest.skip("no reference data")
+    from blues_tpu.core.amber_coords import load_inpcrd
+    from blues_tpu.core.prmtop import load_prmtop
+
+    system = load_prmtop(f"{DATA}/TOL-parm.prmtop")
+    crd = load_inpcrd(f"{DATA}/TOL-parm.inpcrd")
+    system = system.replace(box=crd.box)
+    x = jnp.asarray(crd.positions, jnp.float32)
+    box = jnp.asarray(crd.box, jnp.float32)
+    e_cells = _efn(system, "cells")(x, box, None)  # falls back internally
+    e_tiled = _efn(system, "tiled")(x, box, None)
+    assert float(e_cells) == pytest.approx(float(e_tiled), rel=1e-6)

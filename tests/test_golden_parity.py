@@ -1,0 +1,155 @@
+"""Golden-parity: framework energies/forces vs an independent f64 oracle.
+
+The BASELINE north star asks for <=1e-4 relative force/energy parity with
+the reference engine. OpenMM is not installable here, so the committed
+fixture (tests/data/golden_parity.json) holds per-force-group energies and
+directional derivatives computed by tools/golden_oracle.py — a from-scratch
+f64 Amber implementation with its own prmtop parser, LJ straight from the
+ACOEF/BCOEF pair tables, exclusions from EXCLUDED_ATOMS_LIST, per-dihedral
+SCEE/SCNB, and exact (brute-force) Ewald summation. Agreement here pins the
+composed potential: bonded conventions, 1-4 scaling, exclusion bookkeeping,
+and the full PME decomposition, on the reference's own test systems
+(reference fixtures: /root/reference/blues/tests/test_simulation.py:16-142).
+
+Evaluated at the relaxed coordinates stored in
+tests/data/golden_parity_positions.npz (regenerate with
+tools/relax_golden_positions.py + tools/golden_oracle.py).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/blues/tests/data"
+HERE = os.path.dirname(__file__)
+FIXTURE = os.path.join(HERE, "data", "golden_parity.json")
+POSITIONS = os.path.join(HERE, "data", "golden_parity_positions.npz")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(DATA) and os.path.exists(FIXTURE) and os.path.exists(POSITIONS)),
+    reason="reference data or golden fixtures not available",
+)
+
+REL_TOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    with open(FIXTURE) as f:
+        fx = json.load(f)
+    pos = np.load(POSITIONS)
+    return fx, pos
+
+
+def _load(name, fx):
+    from blues_tpu.core.prmtop import load_prmtop
+
+    spec = fx["systems"][name]
+    system = load_prmtop(f"{DATA}/{name}.prmtop", constraints="None")
+    if spec["periodic"]:
+        box = np.diag(np.asarray(spec["box_ang"]) / 10.0)
+        system = system.replace(box=box)
+    return system, spec
+
+
+def _nb_kwargs(fx, periodic):
+    if periodic:
+        return dict(
+            nonbonded_method="PME",
+            cutoff=fx["cutoff_nm"],
+            ewald_tolerance=fx["ewald_tol"],
+            dispersion_correction=False,
+        )
+    return dict(nonbonded_method="NoCutoff")
+
+
+def _rel(a, b):
+    return abs(a - b) / max(abs(b), 1.0)
+
+
+@pytest.mark.parametrize("name", ["vacDivaline", "TOL-parm", "watDivaline"])
+def test_per_group_and_total_energy_parity(name, fixtures):
+    import jax
+
+    fx, pos = fixtures
+    system, spec = _load(name, fx)
+    g = spec["groups_kj"]
+    x = pos[name]  # nm, f64
+
+    from blues_tpu.core.system import (
+        HarmonicAngles,
+        HarmonicBonds,
+        PeriodicTorsions,
+    )
+    from blues_tpu.potentials.energy import make_energy_fn
+
+    with jax.enable_x64(True):
+        xj = np.asarray(x, np.float64)
+        box = np.asarray(system.box, np.float64) if spec["periodic"] else None
+
+        # bonded groups, individually
+        empty = dict(
+            bonds=HarmonicBonds.empty(),
+            angles=HarmonicAngles.empty(),
+            torsions=PeriodicTorsions.empty(),
+        )
+        for group, field in (("bond", "bonds"), ("angle", "angles"), ("dihedral", "torsions")):
+            only = {**empty, field: getattr(system, field)}
+            sub = system.replace(nonbonded=None, constraints=system.constraints, **only)
+            e = float(make_energy_fn(sub)(xj, box, None))
+            assert _rel(e, g[group]) < REL_TOL, (group, e, g[group])
+
+        # nonbonded aggregate (direct LJ/Coulomb + 1-4 + full Ewald)
+        nb_only = system.replace(**empty)
+        nb_golden = sum(
+            g[k] for k in ("lj", "coulomb", "lj14", "coulomb14", "recip", "self", "plasma", "excl_corr")
+            if k in g
+        )
+        for backend in ("dense", "tiled"):
+            e_nb = float(
+                make_energy_fn(
+                    nb_only, nonbonded_backend=backend, **_nb_kwargs(fx, spec["periodic"])
+                )(xj, box, None)
+            )
+            assert _rel(e_nb, nb_golden) < REL_TOL, (backend, e_nb, nb_golden)
+
+        # composed total
+        e_tot = float(
+            make_energy_fn(system, **_nb_kwargs(fx, spec["periodic"]))(xj, box, None)
+        )
+        assert _rel(e_tot, g["total"]) < REL_TOL, (e_tot, g["total"])
+
+
+@pytest.mark.parametrize("name", ["vacDivaline", "TOL-parm", "watDivaline"])
+def test_directional_force_parity(name, fixtures):
+    """Framework forces projected on fixed random directions vs the oracle's
+    f64 central-difference directional derivatives of the total energy."""
+    import jax
+
+    fx, pos = fixtures
+    system, spec = _load(name, fx)
+    x = pos[name]
+    fd = fx["fd"]
+    rng = np.random.default_rng(fd["seed"])
+    dirs = rng.standard_normal((fd["ndir"], x.shape[0], 3))
+    dirs /= np.linalg.norm(dirs.reshape(fd["ndir"], -1), axis=1)[:, None, None]
+
+    from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
+
+    with jax.enable_x64(True):
+        box = np.asarray(system.box, np.float64) if spec["periodic"] else None
+        ffn = make_force_fn(
+            make_energy_fn(system, **_nb_kwargs(fx, spec["periodic"]))
+        )
+        _, force = ffn(np.asarray(x, np.float64), box, None)
+        force = np.asarray(force)
+        # |F| scale for the relative comparison
+        scale = float(np.abs(fx["systems"][name]["directional_dE_kj_per_nm"]).max())
+        scale = max(scale, float(np.linalg.norm(force) / np.sqrt(force.size)))
+        for d, golden in zip(dirs, fx["systems"][name]["directional_dE_kj_per_nm"]):
+            proj = -float(np.sum(force * d))  # dE/ds along d
+            assert abs(proj - golden) / max(abs(golden), scale) < REL_TOL, (
+                proj, golden,
+            )
