@@ -176,9 +176,11 @@ def watdivaline_sps():
 
     val = system.topology.select_resname("VAL")
     system = system.replace(alchemical=AlchemicalRegion(atoms=val[:16]))
-    # small real prmtop: dense/auto backend, unfrozen
+    # real-prmtop datum, unfrozen: route through the tiled/pallas kernel
+    # (the dense path materializes N^2 arrays and is HBM-bound on TPU)
+    backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
     single, _ = ncmc_protocol_sps(
-        system, crd.positions, "auto", n_rep=3, replicas=1, minimize_steps=800
+        system, crd.positions, backend, n_rep=3, replicas=1, minimize_steps=800
     )
     return single
 

@@ -64,7 +64,17 @@ def make_baoab_machinery(masses, params: LangevinParams, constrain_x, constrain_
         v = a * v + b * jnp.asarray(sigma_v, dtype)[:, None] * noise
         return constrain_v(v, x)
 
-    return {"kick": kick, "drift": drift, "ou": ou, "invm": invm}
+    def ou_partial(v, key, x, h):
+        """OU heat-bath over a sub-interval h (splittings with multiple O
+        substeps, e.g. 'O V R V O'), then RATTLE."""
+        ah = math.exp(-params.friction * h)
+        bh = math.sqrt(1.0 - ah * ah)
+        dtype = v.dtype
+        noise = jax.random.normal(key, v.shape, dtype)
+        v = ah * v + bh * jnp.asarray(sigma_v, dtype)[:, None] * noise
+        return constrain_v(v, x)
+
+    return {"kick": kick, "drift": drift, "ou": ou, "ou_partial": ou_partial, "invm": invm}
 
 
 def make_md_step(force_fn: Callable, masses, params: LangevinParams, constrain_x, constrain_v):

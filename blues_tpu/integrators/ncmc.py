@@ -72,6 +72,7 @@ def make_ncmc_protocol(
     move=None,
     dtype=jnp.float32,
     record_micro=(),
+    splitting: str = "H V R O R V H",
 ):
     """Build protocol_fn(x, v, box, key) -> NCMCResult.
 
@@ -87,25 +88,59 @@ def make_ncmc_protocol(
     (m == n_micro) includes the closing lambda-transition work.
     """
     m = make_baoab_machinery(masses, params, constrain_x, constrain_v)
-    h = params.dt / 2.0
     kT = units.kT(params.temperature)
     mm = schedule.move_micro
     g_initial = {k: jnp.asarray(v, dtype) for k, v in schedule.globals_initial.items()}
     g_pre = {k: jnp.asarray(v, dtype) for k, v in schedule.globals_pre_move.items()}
     g_final = {k: jnp.asarray(v, dtype) for k, v in schedule.globals_final.items()}
 
+    # --- dynamics core from the splitting string ----------------------------
+    # The reference compiles arbitrary openmmtools splitting strings into a
+    # CustomIntegrator program (blues/integrators.py + the parent class).
+    # Here the non-H tokens define the per-micro-step substep sequence with
+    # openmmtools timestep conventions: each R gets dt/n_R, each V dt/n_V,
+    # each O an OU sub-interval dt/n_O. Forces are (re)evaluated lazily —
+    # only when a V follows a position change — so the default
+    # "H V R O R V H" costs exactly two fused energy+force passes per step.
+    # Lambda (H) placement: the flattened schedule advances lambda once per
+    # step before the dynamics (exact for splittings whose dynamics all sit
+    # between the H substeps, like the reference default).
+    tokens = [t for t in splitting.upper().split() if t != "H"]
+    bad = set(tokens) - {"V", "R", "O"}
+    if bad:
+        raise ValueError(f"unknown splitting substeps {bad}; allowed: H V R O")
+    if "V" not in tokens or "R" not in tokens:
+        raise ValueError("splitting must contain at least one V and one R substep")
+    n_V = tokens.count("V")
+    n_R = tokens.count("R")
+    n_O = max(tokens.count("O"), 1)
+    h_V = params.dt / n_V
+    h_R = params.dt / n_R
+    h_O = params.dt / n_O
+
     def micro_step(carry, g):
         x, v, key, work, e_cache, box = carry
-        key, okey = jax.random.split(key)
-        e1, f1 = force_fn(x, box, g)
+        e1, f = force_fn(x, box, g)
         work = work.add(e1 - e_cache)
-        v = m["kick"](v, f1, h, x)
-        x, v = m["drift"](x, v, h)
-        v = m["ou"](v, okey, x)
-        x, v = m["drift"](x, v, h)
-        e2, f2 = force_fn(x, box, g)
-        v = m["kick"](v, f2, h, x)
-        return (x, v, key, work, e2, box), None
+        f_fresh = True  # force matches current x
+        e_at_x = e1
+        for t in tokens:
+            if t == "V":
+                if not f_fresh:
+                    e_at_x, f = force_fn(x, box, g)
+                    f_fresh = True
+                v = m["kick"](v, f, h_V, x)
+            elif t == "R":
+                x, v = m["drift"](x, v, h_R)
+                f_fresh = False
+            else:  # O
+                key, okey = jax.random.split(key)
+                v = m["ou_partial"](v, okey, x, h_O)
+        if not f_fresh:
+            # energy baseline for the next step's work capture must be at
+            # the final positions
+            e_at_x, f = force_fn(x, box, g)
+        return (x, v, key, work, e_at_x, box), None
 
     rec = tuple(sorted(set(int(m) for m in record_micro)))
     if rec and not (0 <= rec[0] and rec[-1] <= schedule.n_micro):

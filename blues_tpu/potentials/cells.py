@@ -34,32 +34,50 @@ import jax.numpy as jnp
 from .pairs import pair_energy_force
 from .tiled import PairFeatures
 
-#: scan chunk: cells processed per step (bounds the materialized block)
-CELL_CHUNK = 32
+#: scan chunk: cells processed per step (bounds the materialized block;
+#: 54 measured best on v5e at the 22k-atom 6x6x6 grid)
+CELL_CHUNK = 54
 
 
 def _grid_shape(box_lengths, cutoff, shrink_margin=0.97):
     return np.maximum((np.asarray(box_lengths) * shrink_margin / cutoff).astype(int), 1)
 
 
-def _neighbor_table(ncells):
-    """(nc_tot, 27) neighbor cell ids with periodic wrap; duplicate wrapped
+def _neighbor_table(ncells, half=False):
+    """(nc_tot, K) neighbor cell ids with periodic wrap; duplicate wrapped
     neighbors are replaced by the empty-cell marker nc_tot (so tiny grids
-    never double-count)."""
+    never double-count). With ``half``, only the self cell (always first)
+    plus the 13 lexicographically-positive offsets are listed — Newton's
+    third law halves the pair work; the kernel then orders self-cell pairs
+    by atom id and scatters forces to both sides."""
     nx, ny, nz = (int(v) for v in ncells)
     nc_tot = nx * ny * nz
     ids = np.arange(nc_tot).reshape(nx, ny, nz)
-    table = np.full((nc_tot, 27), nc_tot, np.int32)
+    if half:
+        offsets = [(0, 0, 0)] + [
+            (dx, dy, dz)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+            if (dx, dy, dz) > (0, 0, 0)
+        ]
+    else:
+        offsets = [
+            (dx, dy, dz)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+    K = len(offsets)
+    table = np.full((nc_tot, K), nc_tot, np.int32)
     for cx in range(nx):
         for cy in range(ny):
             for cz in range(nz):
                 seen = []
-                for dx in (-1, 0, 1):
-                    for dy in (-1, 0, 1):
-                        for dz in (-1, 0, 1):
-                            c = ids[(cx + dx) % nx, (cy + dy) % ny, (cz + dz) % nz]
-                            if c not in seen:
-                                seen.append(c)
+                for dx, dy, dz in offsets:
+                    c = ids[(cx + dx) % nx, (cy + dy) % ny, (cz + dz) % nz]
+                    if c not in seen:
+                        seen.append(c)
                 table[ids[cx, cy, cz], : len(seen)] = seen
     return table
 
@@ -81,7 +99,7 @@ def make_cell_pair_sum(
     periodic: bool = True,
     switch_distance: float = None,
     box0=None,
-    capacity_factor: float = 1.6,
+    half_neighborhood: bool = False,
 ):
     """Same interface as make_tiled_pair_sum: pair_sum(x, box, lam_s, f_na,
     f_aa) -> (E, F), with .energy exposing a custom-VJP scalar function.
@@ -100,11 +118,20 @@ def make_cell_pair_sum(
         raise ValueError(
             f"grid {tuple(ncells)} too small for a cell list; use 'tiled'"
         )
+    # Newton's third law option: visit each pair once (self cell + 13
+    # positive offsets) and scatter forces to both sides. Requires every
+    # atom to be a row (no frozen compaction) and >= 3 cells per dim (else
+    # wrapped offsets alias). Measured on v5e at 22k atoms it LOSES to the
+    # both-sides sweep (15-17 ms vs ~10 ms): the column-force reduction +
+    # second scatter cost more than the halved pair math saves in XLA. Kept
+    # (and covered by the f64 agreement tests) as the basis for a future
+    # Pallas neighbor kernel, where the reduction stays in VMEM.
+    half = half_neighborhood and nr == n and int(ncells.min()) >= 3
     mean_all = n / nc_tot
-    # occupancy headroom: mean + 6 sqrt(mean) covers equilibrium density
-    # fluctuations of condensed systems with large margin; overflow poisons
-    # to NaN rather than dropping pairs
-    cap_col = _round8(mean_all + 6.0 * np.sqrt(mean_all) + 8.0)
+    # occupancy headroom: mean + 5 sqrt(mean) covers equilibrium density
+    # fluctuations of condensed systems; overflow poisons to NaN rather
+    # than dropping pairs
+    cap_col = _round8(mean_all + 5.0 * np.sqrt(mean_all) + 8.0)
     # active rows can cluster spatially (freeze_radius binding sites), but a
     # cell never holds more rows than atoms — bound by cap_col and by nr
     cap_row = min(cap_col, _round8(nr)) if nr < n else cap_col
@@ -112,8 +139,9 @@ def make_cell_pair_sum(
     nc_pad = n_chunks * CELL_CHUNK
     # neighbor table padded to the chunked cell count; pad rows point at the
     # always-empty marker cell nc_tot
-    nbr_np = np.full((nc_pad, 27), nc_tot, np.int32)
-    nbr_np[:nc_tot] = _neighbor_table(ncells)
+    n_nbr = 14 if half else 27
+    nbr_np = np.full((nc_pad, n_nbr), nc_tot, np.int32)
+    nbr_np[:nc_tot] = _neighbor_table(ncells, half=half)
     nbr = jnp.asarray(nbr_np)
 
     ncells_j = jnp.asarray(ncells.astype(np.float64))
@@ -125,8 +153,9 @@ def make_cell_pair_sum(
     ghost = n  # index of the parked ghost atom (q = eps = 0)
 
     def _bin(cid, count_n, capacity):
-        """(n_entries,) cell ids -> (nc_pad+1, capacity) atom-index buffer
-        (ghost-padded; final row = the always-empty marker cell)."""
+        """(n_entries,) cell ids -> (order, sorted_cid, slot, overflow):
+        the scatter coordinates that place entry order[k] into
+        (cell sorted_cid[k], slot[k]) of a (nc_pad+1, capacity) buffer."""
         counts = jax.ops.segment_sum(
             jnp.ones_like(cid, jnp.int32), cid, num_segments=nc_tot
         )
@@ -138,10 +167,9 @@ def make_cell_pair_sum(
         rank = (jnp.arange(count_n, dtype=jnp.int32) - offsets[sorted_cid]).astype(
             jnp.int32
         )
-        buf = jnp.full((nc_pad + 1, capacity), ghost, jnp.int32)
-        buf = buf.at[sorted_cid, jnp.minimum(rank, capacity - 1)].set(order)
+        slot = jnp.minimum(rank, capacity - 1)
         overflow = counts.max() > capacity
-        return buf, overflow
+        return order, sorted_cid, slot, overflow
 
     def _cell_ids(xw, L):
         frac = xw / L
@@ -152,71 +180,99 @@ def make_cell_pair_sum(
         )
         return ci @ strides
 
+    # per-atom channel layout of the packed cell buffers
+    # [0:3] position, [3] q_std, [4] q_alch, [5] sigma, [6] epsilon,
+    # [7] alch flag, [8] in_rows, [9] global atom id (exact in f32 for
+    # n < 2^24)
+    C = 10
+
+    def _pack(entries_global, cid_entries, capacity, x, chan):
+        """Scatter per-entry channel rows into a ghost-initialized
+        (nc_pad+1, capacity, C) buffer — one contiguous scatter, so the
+        per-chunk neighbor reads below are contiguous block gathers instead
+        of element gathers (the XLA-gather cost is what made the naive
+        formulation lose to the O(N^2) kernel on TPU)."""
+        dtype = x.dtype
+        order, sorted_cid, slot, overflow = _bin(cid_entries, len(entries_global), capacity)
+        ghost_row = jnp.concatenate(
+            [jnp.full(3, 1e3, dtype), jnp.zeros(C - 4, dtype), jnp.full(1, ghost, dtype)]
+        )
+        buf = jnp.broadcast_to(ghost_row, ((nc_pad + 1) * capacity, C))
+        vals = chan[jnp.asarray(entries_global)[order]]
+        buf = buf.at[sorted_cid * capacity + slot].set(vals)
+        return buf.reshape(nc_pad + 1, capacity, C), overflow
+
     def _pass(x, box, lam_s, f_na, f_aa):
         dtype = x.dtype
-        qs = jnp.asarray(feats.q_std, dtype)
-        qa = jnp.asarray(feats.q_alch, dtype)
-        sig = jnp.asarray(feats.sigma, dtype)
-        eps = jnp.asarray(feats.epsilon, dtype)
-        af = jnp.asarray(feats.alch, dtype)
-        inr = jnp.asarray(feats.in_rows, dtype)
         L = jnp.diagonal(box).astype(dtype)
-        # park the ghost far outside every cutoff
-        xpad = jnp.concatenate([x, jnp.full((1, 3), 1e3, dtype)], axis=0)
+        chan = jnp.concatenate(
+            [
+                x,
+                jnp.asarray(feats.q_std[:n], dtype)[:, None],
+                jnp.asarray(feats.q_alch[:n], dtype)[:, None],
+                jnp.asarray(feats.sigma[:n], dtype)[:, None],
+                jnp.asarray(feats.epsilon[:n], dtype)[:, None],
+                jnp.asarray(feats.alch[:n], dtype)[:, None],
+                jnp.asarray(feats.in_rows[:n], dtype)[:, None],
+                jnp.arange(n, dtype=dtype)[:, None],
+            ],
+            axis=1,
+        )  # (n, C)
 
         xw = x - L * jnp.floor(x / L)
         cid = _cell_ids(xw, L)
-        colbuf, over_c = _bin(cid, n, cap_col)
+        all_ids = jnp.arange(n)
+        cols_buf, over_c = _pack(all_ids, cid, cap_col, x, chan)
         if nr == n:
-            rowbuf, over_r = colbuf, over_c
-            row_gid_buf = rowbuf
+            rows_buf, over_r = cols_buf, over_c
+            rcap = cap_col
         else:
-            rowbuf, over_r = _bin(cid[row_idx], nr, cap_row)
-            # rowbuf holds indices into row_idx; map to global atom ids
-            row_gid_buf = jnp.where(
-                rowbuf == ghost, ghost, jnp.asarray(
-                    np.concatenate([np.asarray(feats.row_idx[:nr]), [0]])
-                )[jnp.minimum(rowbuf, nr)],
-            )
+            rows_buf, over_r = _pack(row_idx, cid[row_idx], cap_row, x, chan)
+            rcap = cap_row
         # grid validity: cell edge must still cover the cutoff (NPT shrink)
         invalid = over_c | over_r | jnp.any(L / ncells_j < cutoff)
 
-        cols_all = colbuf[nbr]  # (nc_pad, 27, cap_col) via neighbor gather
-        cols_all = cols_all.reshape(nc_pad, 27 * cap_col)
-        rows_all = row_gid_buf[:nc_pad]
-
         def chunk(carry, c0):
             e_acc, f_acc = carry
-            rid = jax.lax.dynamic_slice(
-                rows_all, (c0, 0), (CELL_CHUNK, rows_all.shape[1])
-            )  # (B, R) global atom ids (ghost-padded)
-            cidx = jax.lax.dynamic_slice(
-                cols_all, (c0, 0), (CELL_CHUNK, cols_all.shape[1])
-            )  # (B, C)
-            xi = xpad[rid]  # (B, R, 3)
-            xj = xpad[cidx]  # (B, C, 3)
-            dr = xi[:, :, None, :] - xj[:, None, :, :]
+            rows = jax.lax.dynamic_slice(
+                rows_buf, (c0, 0, 0), (CELL_CHUNK, rcap, C)
+            )  # (B, R, C)
+            nbr_c = jax.lax.dynamic_slice(nbr, (c0, 0), (CELL_CHUNK, n_nbr))
+            cols = cols_buf[nbr_c].reshape(CELL_CHUNK, n_nbr * cap_col, C)
+
+            xi = rows[:, :, None, 0:3]
+            xj = cols[:, None, :, 0:3]
+            dr = xi - xj
             dr = dr - L * jnp.round(dr / L)
             r2 = jnp.sum(dr * dr, -1)
+            gid_i = rows[:, :, None, 9]
+            gid_j = cols[:, None, :, 9]
             valid = (
-                (rid[:, :, None] != cidx[:, None, :])
-                & (rid[:, :, None] < n)
-                & (cidx[:, None, :] < n)
+                (gid_i != gid_j)
+                & (gid_i < n)
+                & (gid_j < n)
                 & (r2 < cutoff * cutoff)
             )
+            if half:
+                # self cell occupies the first cap_col column slots: order
+                # those pairs by atom id so each intra-cell pair counts once
+                self_block = (
+                    jnp.arange(n_nbr * cap_col) < cap_col
+                )[None, None, :]
+                valid = valid & (~self_block | (gid_i < gid_j))
             r2 = jnp.maximum(r2, 1e-6)
-            fi_q, fj_q = qs[rid][:, :, None], qs[cidx][:, None, :]
-            fi_a, fj_a = qa[rid][:, :, None], qa[cidx][:, None, :]
-            ai, aj = af[rid][:, :, None], af[cidx][:, None, :]
+            ai = rows[:, :, None, 7]
+            aj = cols[:, None, :, 7]
             aa = ai * aj
             scale_ster = ai + aj - 2.0 * aa + ann * aa
-            sij = 0.5 * (sig[rid][:, :, None] + sig[cidx][:, None, :])
-            eij = jnp.sqrt(eps[rid][:, :, None] * eps[cidx][:, None, :])
             e, g = pair_energy_force(
-                r2, sij, eij,
-                fi_q * fj_q,
-                fi_q * fj_a + fi_a * fj_q,
-                fi_a * fj_a,
+                r2,
+                0.5 * (rows[:, :, None, 5] + cols[:, None, :, 5]),
+                jnp.sqrt(rows[:, :, None, 6] * cols[:, None, :, 6]),
+                rows[:, :, None, 3] * cols[:, None, :, 3],
+                rows[:, :, None, 3] * cols[:, None, :, 4]
+                + rows[:, :, None, 4] * cols[:, None, :, 3],
+                rows[:, :, None, 4] * cols[:, None, :, 4],
                 scale_ster,
                 lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
                 alpha_ewald=alpha_ewald, k_rf=k_rf, c_rf=c_rf,
@@ -225,12 +281,27 @@ def make_cell_pair_sum(
             )
             e = jnp.where(valid, e, 0.0)
             g = jnp.where(valid, g, 0.0)
-            wcol = 1.0 - 0.5 * inr[rid][:, :, None] * inr[cidx][:, None, :]
-            e_acc = e_acc + jnp.sum(wcol * e)
-            f_rows = -jnp.einsum("brc,brcd->brd", g, dr)  # (B, R, 3)
-            f_acc = f_acc.at[rid.reshape(-1)].add(
-                f_rows.reshape(-1, 3), mode="drop"
-            )
+            rid = jnp.minimum(rows[:, :, 9].astype(jnp.int32), n)
+            if half:
+                # every pair counted once: full energy, forces to both sides
+                e_acc = e_acc + jnp.sum(e)
+                f_rows = -jnp.einsum("brc,brcd->brd", g, dr)
+                f_cols = jnp.einsum("brc,brcd->bcd", g, dr)  # (B, C, 3)
+                cid_j = jnp.minimum(cols[:, :, 9].astype(jnp.int32), n)
+                f_acc = f_acc.at[rid.reshape(-1)].add(
+                    f_rows.reshape(-1, 3), mode="drop"
+                )
+                f_acc = f_acc.at[cid_j.reshape(-1)].add(
+                    f_cols.reshape(-1, 3), mode="drop"
+                )
+            else:
+                # both-sides visit: row-row pairs weigh 0.5, row-frozen 1.0
+                wcol = 1.0 - 0.5 * rows[:, :, None, 8] * cols[:, None, :, 8]
+                e_acc = e_acc + jnp.sum(wcol * e)
+                f_rows = -jnp.einsum("brc,brcd->brd", g, dr)  # (B, R, 3)
+                f_acc = f_acc.at[rid.reshape(-1)].add(
+                    f_rows.reshape(-1, 3), mode="drop"
+                )
             return (e_acc, f_acc), None
 
         f0 = jnp.zeros((n + 1, 3), dtype)

@@ -189,6 +189,11 @@ def make_nonbonded_energy(
     'tiled' (scan over row tiles, any size), 'pallas' (TPU kernel), or
     'auto' (dense below 4096 atoms, otherwise pallas on TPU / tiled on CPU).
     """
+    if alchemical_pme_treatment not in ("direct-space", "exact"):
+        raise ValueError(
+            f"unsupported alchemical_pme_treatment {alchemical_pme_treatment!r}; "
+            "implemented: 'direct-space' (reference default), 'exact'"
+        )
     n = nb.charge.shape[0]
     if backend == "auto":
         if use_pallas:

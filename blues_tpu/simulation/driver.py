@@ -177,6 +177,7 @@ class BLUESSimulation:
             self.schedule,
             move=move,
             record_micro=record_micro,
+            splitting=config.splitting,
         )
         self._md_step = make_md_step(
             self.force_md, system.masses, lp, constrain_x, constrain_v

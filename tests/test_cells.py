@@ -71,6 +71,37 @@ def test_cells_match_with_frozen_rows(water_tol_system):
         )
 
 
+def test_half_neighborhood_matches_full(water_tol_system):
+    """Newton's-third-law variant (kept for the future Pallas neighbor
+    kernel): one visit per pair + two-sided force scatter must equal the
+    both-sides sweep at f64 roundoff."""
+    from blues_tpu.potentials.cells import make_cell_pair_sum
+    from blues_tpu.potentials.tiled import build_pair_features
+
+    system, x = water_tol_system
+    nb = system.nonbonded
+    n = system.n_atoms
+    is_alch = np.zeros(n, bool)
+    is_alch[np.asarray(system.alchemical.atoms)] = True
+    feats = build_pair_features(
+        np.asarray(nb.charge), nb.sigma, nb.epsilon, is_alch, None
+    )
+    kw = dict(method="PME", cutoff=0.9, alpha_ewald=3.0, k_rf=0.0, c_rf=0.0,
+              annihilate_sterics=False, box0=np.asarray(system.box))
+    with jax.enable_x64(True):
+        x64 = jnp.asarray(np.asarray(x), jnp.float64)
+        box = jnp.asarray(np.asarray(system.box), jnp.float64)
+        one = jnp.asarray(1.0, jnp.float64)
+        e_f, ff = make_cell_pair_sum(feats, **kw)(x64, box, one, one, one)
+        e_h, fh = make_cell_pair_sum(feats, half_neighborhood=True, **kw)(
+            x64, box, one, one, one
+        )
+        assert float(jnp.abs(e_h - e_f)) / (abs(float(e_f)) + 1.0) < 1e-10
+        assert float(jnp.max(jnp.abs(fh - ff))) / (
+            float(jnp.max(jnp.abs(ff))) + 1.0
+        ) < 1e-10
+
+
 def test_cells_poison_on_shrunken_box(water_tol_system):
     system, x = water_tol_system
     box = jnp.asarray(system.box, jnp.float32)

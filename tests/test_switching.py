@@ -95,6 +95,20 @@ def test_switch_distance_validated():
         )
 
 
+def test_unknown_alchemical_treatment_rejected():
+    from blues_tpu.core.system import AlchemicalRegion
+
+    system = _two_atom_system()
+    system = system.replace(
+        alchemical=AlchemicalRegion(atoms=np.array([0], np.int32))
+    )
+    with pytest.raises(ValueError, match="alchemical_pme_treatment"):
+        make_energy_fn(
+            system, nonbonded_method="PME", cutoff=1.0,
+            alchemical_pme_treatment="coulomb",
+        )
+
+
 def test_yaml_switch_plumbs_through():
     from blues_tpu.config.settings import Settings
 
