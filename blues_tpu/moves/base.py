@@ -23,6 +23,13 @@ import jax.numpy as jnp
 class Move:
     """Base move: identity in every phase."""
 
+    #: True for moves whose proposal displacement has no local bound
+    #: (water hops, pose darting). Drivers disable frozen-system column
+    #: culling (potentials.nonbonded frozen_cull_skin) for such moves: the
+    #: COM-ball reach bound used by the culling guard does not cover
+    #: teleports, and the guard would veto every proposal.
+    teleports = False
+
     def before(self, key, x, v, box):
         return x, v, self.init_aux()
 

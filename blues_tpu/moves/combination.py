@@ -17,6 +17,10 @@ class CombinationMove(Move):
     def __init__(self, moves):
         self.moves = list(moves)
 
+    @property
+    def teleports(self):
+        return any(m.teleports for m in self.moves)
+
     def init_aux(self):
         return [m.init_aux() for m in self.moves]
 

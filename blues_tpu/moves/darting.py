@@ -38,6 +38,8 @@ def _basis_frame(p1, p2, p3):
 
 
 class SmartDartMove(Move):
+
+    teleports = True
     def __init__(
         self,
         ligand_atoms,
@@ -122,6 +124,8 @@ class SmartDartMove(Move):
 
 class MolDartMove(Move):
     """Per-atom pose darting (reference posedart.py:114-262 algorithm)."""
+
+    teleports = True
 
     def __init__(self, ligand_atoms, poses, dart_radius: float = 0.1):
         """poses: (P, L, 3) stored ligand-pose coordinates (lab frame)."""

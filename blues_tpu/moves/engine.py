@@ -30,6 +30,10 @@ class MoveEngine(Move):
             p = p / p.sum()
         self.probabilities = p
 
+    @property
+    def teleports(self):
+        return any(m.teleports for m in self.moves)
+
     def _aux(self, selected, auxs):
         return {"selected": selected, "auxs": auxs}
 

@@ -25,6 +25,8 @@ from .base import Move
 
 
 class WaterTranslationMove(Move):
+
+    teleports = True
     def __init__(
         self,
         topology,

@@ -34,6 +34,7 @@ def make_energy_fn(
     nonbonded_backend: str = "auto",
     dispersion_correction: bool = True,
     switch_distance: float = None,
+    frozen_cull_skin: float = 0.45,
 ) -> Callable:
     """Build energy_fn(positions, box=None, globals_=None) -> scalar kJ/mol."""
     terms = []
@@ -73,6 +74,7 @@ def make_energy_fn(
             frozen_ref_positions=system.frozen_ref_positions,
             dispersion_correction=dispersion_correction,
             switch_distance=switch_distance,
+            frozen_cull_skin=frozen_cull_skin,
         )
         terms.append(lambda x, box, g: nb_fn(x, box, g))
 

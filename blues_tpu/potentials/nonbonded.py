@@ -181,6 +181,7 @@ def make_nonbonded_energy(
     frozen_ref_positions=None,
     dispersion_correction: bool = True,
     switch_distance=None,
+    frozen_cull_skin: Optional[float] = 0.45,
 ):
     """Build fn(positions, box, globals) -> energy for the full nonbonded term.
 
@@ -188,6 +189,11 @@ def make_nonbonded_energy(
     backend: 'dense' (materialized upper-triangle, small systems),
     'tiled' (scan over row tiles, any size), 'pallas' (TPU kernel), or
     'auto' (dense below 4096 atoms, otherwise pallas on TPU / tiled on CPU).
+    frozen_cull_skin: with frozen atoms + a cutoff method, statically cull
+    pair-kernel columns to atoms within (cutoff + skin) of the mobile rows'
+    build positions; a displacement guard poisons the energy to NaN if a
+    mobile atom ever drifts farther than the skin from its build position
+    (-> rejected iteration, never silently wrong physics). None disables.
     """
     if alchemical_pme_treatment not in ("direct-space", "exact"):
         raise ValueError(
@@ -239,6 +245,7 @@ def make_nonbonded_energy(
             frozen_ref_positions=frozen_ref_positions,
             dispersion_correction=dispersion_correction,
             switch_distance=switch_distance,
+            frozen_cull_skin=frozen_cull_skin,
         )
     if switch_distance is not None and not (0.0 < switch_distance < cutoff):
         raise ValueError(
@@ -435,6 +442,7 @@ def make_nonbonded_energy(
         return e_total
 
     energy.pme_params = pme_params
+    energy.cull_info = None
     return energy
 
 
@@ -454,6 +462,7 @@ def _make_pair_backend_energy(
     frozen_ref_positions=None,
     dispersion_correction: bool = True,
     switch_distance=None,
+    frozen_cull_skin: Optional[float] = 0.45,
 ):
     """Large-system nonbonded energy: tiled/pallas pair sum + corrections.
 
@@ -550,16 +559,114 @@ def _make_pair_backend_energy(
         periodic=periodic,
         switch_distance=switch_distance,
     )
+    # --- static column culling for frozen systems ---------------------------
+    # With a cutoff method and frozen reference positions, a mobile (row)
+    # atom that stays within its *reach bound* can only interact with atoms
+    # within (cutoff + bound) of its build position, so the pair kernel's
+    # columns are statically restricted to that set — the TPU-native analog
+    # of OpenMM's neighbor-list culling for the reference's freeze_radius
+    # production protocol (blues/simulation.py:394-480). Two bounds:
+    #   * non-alchemical mobile rows (binding-site residues): stay within
+    #     `skin` of their build position;
+    #   * alchemical rows (the move target): instantaneous MC moves rotate
+    #     the region about its COM (reference: blues/moves.py:278-310), so
+    #     the per-atom bound is a COM-centered ball of radius
+    #     r_alch + 2*skin (rotation preserves |x - COM| exactly; the 2*skin
+    #     margin covers COM drift and center mismatch).
+    # A runtime guard poisons the energy to NaN when either bound is
+    # violated (driver NaN -> reject/rollback, SURVEY.md 5.2), so culling is
+    # never silently wrong. Teleporting moves (water hop, darting) have no
+    # such bound — drivers must disable culling for them (move.teleports).
+    col_idx = None
+    cull_guard = None
+    if (
+        active_rows is not None
+        and frozen_ref_positions is not None
+        and frozen_cull_skin is not None
+        and frozen_cull_skin > 0
+        and method in (PME, CUTOFF_PERIODIC, CUTOFF_NONPERIODIC)
+        and backend in ("pallas", "tiled")
+    ):
+        skin = float(frozen_cull_skin)
+        x0 = np.asarray(frozen_ref_positions, np.float64)
+        Lnp = (
+            np.diag(np.asarray(box_for_pme, np.float64))
+            if (periodic and box_for_pme is not None)
+            else None
+        )
+        rows_np = np.asarray(active_rows, np.int64)
+        alch_rows_mask = is_alch[rows_np]
+        na_rows = rows_np[~alch_rows_mask]
+        al_rows = rows_np[alch_rows_mask]
+        colmask = np.zeros(n, bool)
+
+        def _dmin2_to(points):
+            out = np.full(n, np.inf)
+            for lo in range(0, len(points), 512):  # bound the N x Np temp
+                d = x0[:, None, :] - points[None, lo : lo + 512, :]
+                if Lnp is not None:
+                    d -= Lnp * np.round(d / Lnp)
+                out = np.minimum(out, (d * d).sum(-1).min(1))
+            return out
+
+        if len(na_rows):
+            reach = cutoff + skin
+            colmask |= _dmin2_to(x0[na_rows]) <= reach * reach
+        b_alch2 = 0.0
+        if len(al_rows):
+            w = (
+                np.asarray(masses, np.float64)[al_rows]
+                if masses is not None
+                else np.ones(len(al_rows))
+            )
+            w = np.maximum(w, 1e-12)
+            com0 = (x0[al_rows] * w[:, None]).sum(0) / w.sum()
+            r_alch = np.sqrt(((x0[al_rows] - com0) ** 2).sum(-1).max())
+            b_alch = r_alch + 2.0 * skin
+            b_alch2 = b_alch * b_alch
+            reach_a = cutoff + b_alch
+            colmask |= _dmin2_to(com0[None, :]) <= reach_a * reach_a
+        colmask[rows_np] = True
+        if colmask.mean() <= 0.75:  # only cull when it actually pays
+            col_idx = np.where(colmask)[0].astype(np.int32)
+            skin2 = skin * skin
+            na_x0_j = jnp.asarray(x0[na_rows]) if len(na_rows) else None
+            na_rows_j = jnp.asarray(na_rows.astype(np.int32))
+            al_rows_j = jnp.asarray(al_rows.astype(np.int32))
+            com0_j = jnp.asarray(com0) if len(al_rows) else None
+
+            def cull_guard(positions, box):
+                bl = (
+                    jnp.diagonal(box).astype(positions.dtype)
+                    if (periodic and box is not None)
+                    else None
+                )
+
+                def _maxd2(d):
+                    if bl is not None:
+                        d = d - bl * jnp.round(d / bl)
+                    return jnp.max(jnp.sum(d * d, -1))
+
+                bad = jnp.zeros((), bool)
+                if na_x0_j is not None:
+                    d2 = _maxd2(positions[na_rows_j] - na_x0_j.astype(positions.dtype))
+                    bad |= d2 > skin2
+                if com0_j is not None:
+                    d2 = _maxd2(positions[al_rows_j] - com0_j.astype(positions.dtype))
+                    bad |= d2 > b_alch2
+                bad = jax.lax.stop_gradient(bad)
+                return jnp.where(bad, jnp.nan, 0.0)
+
     if backend == "pallas":
         from .pallas.pair_kernel import make_pallas_pair_sum
 
-        pair_sum = make_pallas_pair_sum(feats, **common)
+        pair_sum = make_pallas_pair_sum(feats, col_idx=col_idx, **common)
     elif backend == "cells":
         from .cells import make_cell_pair_sum
 
         pair_sum = make_cell_pair_sum(feats, box0=box_for_pme, **common)
     else:
-        pair_sum = make_tiled_pair_sum(feats, **common)
+        pair_sum = make_tiled_pair_sum(feats, col_idx=col_idx, **common)
 
     excl = np.asarray(nb.exclusions, np.int64).reshape(-1, 2)
     exc_idx = np.asarray(nb.exceptions_idx, np.int64).reshape(-1, 2)
@@ -596,6 +703,8 @@ def _make_pair_backend_energy(
             f_aa = jnp.asarray(1.0, dtype)
 
         e_total = pair_sum.energy(positions, box, lam_s, f_na, f_aa)
+        if cull_guard is not None:
+            e_total = e_total + cull_guard(positions, box)
 
         # subtract excluded pairs (same per-pair formula, same cutoff mask)
         if len(excl):
@@ -680,4 +789,6 @@ def _make_pair_backend_energy(
         return e_total
 
     energy.pme_params = pme_params
+    #: (n_culled_columns, n_atoms) when column culling engaged, else None
+    energy.cull_info = (len(col_idx), n) if col_idx is not None else None
     return energy

@@ -38,8 +38,9 @@ from ..tiled import PairFeatures
 
 TILE = 256
 
-# feature-row indices (column array)
-F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH, F_INROWS = 0, 1, 2, 3, 4, 5
+# feature-row indices (column array); F_CGID = global atom id of the column
+# (f32, exact for n < 2^24; -1 marks padded column slots)
+F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH, F_INROWS, F_CGID = 0, 1, 2, 3, 4, 5, 6
 # extra rows in the row-side feature array
 R_GID, R_VALID = 5, 6
 
@@ -68,10 +69,8 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
             r2 = r2 + dx * dx
 
         gid_i = fi_ref[R_GID, :][:, None]  # global atom id of the row (f32)
-        cj = (j * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)).astype(
-            jnp.float32
-        )
-        valid = (gid_i != cj) & (fi_ref[R_VALID, :][:, None] > 0) & (cj < n_atoms)
+        cj = fj_ref[F_CGID, :][None, :]  # global atom id of the column
+        valid = (gid_i != cj) & (fi_ref[R_VALID, :][:, None] > 0) & (cj >= 0)
         if use_cutoff:
             valid = valid & (r2 < cutoff * cutoff)
         r2 = jnp.maximum(r2, 1e-6)
@@ -136,38 +135,51 @@ def make_pallas_pair_sum(
     periodic: bool = True,
     switch_distance: float = None,
     interpret: bool = None,
+    col_idx=None,
 ):
     """Same interface as make_tiled_pair_sum: pair_sum(x, box, lam_s, f_na,
-    f_aa) -> (E, F), with .energy exposing a custom-VJP scalar function."""
+    f_aa) -> (E, F), with .energy exposing a custom-VJP scalar function.
+
+    col_idx: optional static global indices of the column subset (frozen-
+    system column culling: with a cutoff method, only atoms within reach of
+    the mobile rows can interact — the caller guarantees completeness via a
+    displacement guard). None = all atoms."""
     global pl, pltpu
     from jax.experimental import pallas as pl  # noqa: F401
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     n, npad = feats.n_atoms, feats.n_padded
     nr, nr_pad = feats.n_rows, feats.n_rows_padded
-    n_col_tiles = npad // TILE
+    full_cols = col_idx is None
+    cols_np = np.arange(n, dtype=np.int64) if full_cols else np.asarray(col_idx, np.int64)
+    nc = len(cols_np)
+    ncpad = ((nc + TILE - 1) // TILE) * TILE
+    n_col_tiles = ncpad // TILE
     n_row_tiles = nr_pad // TILE
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # column features
-    feat_cols = np.zeros((8, npad), np.float32)
-    feat_cols[F_QSTD] = feats.q_std
-    feat_cols[F_QALCH] = feats.q_alch
-    feat_cols[F_SIG] = feats.sigma
-    feat_cols[F_EPS] = feats.epsilon
-    feat_cols[F_ALCH] = feats.alch
-    feat_cols[F_INROWS] = feats.in_rows
+    # column features, gathered onto the (possibly culled) column subset
+    feat_cols = np.zeros((8, ncpad), np.float32)
+    feat_full = {
+        F_QSTD: feats.q_std, F_QALCH: feats.q_alch, F_SIG: feats.sigma,
+        F_EPS: feats.epsilon, F_ALCH: feats.alch, F_INROWS: feats.in_rows,
+    }
+    for k, arr in feat_full.items():
+        feat_cols[k, :nc] = np.asarray(arr)[cols_np]
+    feat_cols[F_CGID, :nc] = cols_np.astype(np.float32)
+    feat_cols[F_CGID, nc:] = -1.0
     # row features: compacted + global id + validity
     rows = np.asarray(feats.row_idx)
     feat_rows = np.zeros((8, nr_pad), np.float32)
     for k in (F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH):
-        feat_rows[k] = feat_cols[k][rows]
+        feat_rows[k] = np.asarray(feat_full[k])[rows]
     feat_rows[R_GID] = rows.astype(np.float32)
     feat_rows[R_VALID] = (np.arange(nr_pad) < nr).astype(np.float32)
     feat_cols = jnp.asarray(feat_cols)
     feat_rows = jnp.asarray(feat_rows)
     row_idx = jnp.asarray(rows)
+    cols_j = jnp.asarray(cols_np.astype(np.int32))
     row_live = jnp.asarray((np.arange(nr_pad) < nr)[:, None].astype(np.float32))
 
     kernel = _make_kernel(
@@ -177,7 +189,7 @@ def make_pallas_pair_sum(
     )
 
     # park padded atoms far apart (q = eps = 0 anyway)
-    pad_tail = 1e3 * (1.0 + np.arange(npad - n, dtype=np.float32))
+    pad_tail = 1e3 * (1.0 + np.arange(ncpad - nc, dtype=np.float32))
 
     grid_spec = pl.GridSpec(
         grid=(n_row_tiles, n_col_tiles),
@@ -193,16 +205,20 @@ def make_pallas_pair_sum(
 
     flops_per_pair = 60
     cost = pl.CostEstimate(
-        flops=flops_per_pair * nr_pad * npad,
-        bytes_accessed=4 * (8 * npad) * (2 * n_row_tiles + 1),
-        transcendentals=2 * nr_pad * npad,
+        flops=flops_per_pair * nr_pad * ncpad,
+        bytes_accessed=4 * (8 * ncpad) * (2 * n_row_tiles + 1),
+        transcendentals=2 * nr_pad * ncpad,
     )
 
     def _pass(x, box, lam_s, f_na, f_aa):
-        xt = jnp.zeros((8, npad), jnp.float32)
-        xt = xt.at[0:3, :n].set(x.T.astype(jnp.float32))
-        xt = xt.at[0:3, n:].set(jnp.asarray(pad_tail)[None, :])
-        xr = xt[:, row_idx]  # (8, Nr_pad) row-compacted coordinates
+        xf = x.astype(jnp.float32)
+        xc = xf.T if full_cols else xf[cols_j].T  # (3, nc)
+        xt = jnp.zeros((8, ncpad), jnp.float32)
+        xt = xt.at[0:3, :nc].set(xc)
+        xt = xt.at[0:3, nc:].set(jnp.asarray(pad_tail)[None, :])
+        # row-compacted coordinates from global row ids (row pads alias
+        # atom 0; masked by R_VALID)
+        xr = jnp.zeros((8, nr_pad), jnp.float32).at[0:3].set(xf[row_idx].T)
         blen = jnp.diagonal(box).astype(jnp.float32) if box is not None else jnp.ones(3, jnp.float32)
         params = jnp.zeros((1, 8), jnp.float32)
         params = params.at[0, 0].set(jnp.asarray(lam_s, jnp.float32))

@@ -134,7 +134,11 @@ def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
         u = positions / blen * jnp.array([Kx, Ky, Kz], dtype)
         q = jnp.asarray(charges, dtype)
         n = positions.shape[0]
-        npad = ((n + CHUNK - 1) // CHUNK) * CHUNK
+        # chunk sized to the (possibly tiny mobile-subset) atom count: a
+        # 110-atom frozen-protocol spread should not pay for a 2048-wide
+        # matmul + (2048, Ky, Kz) outer-product temporary
+        chunk = min(CHUNK, ((n + 127) // 128) * 128)
+        npad = ((n + chunk - 1) // chunk) * chunk
         u_p = jnp.zeros((npad, 3), dtype).at[:n].set(u)
         q_p = jnp.zeros((npad,), dtype).at[:n].set(q)
 
@@ -154,11 +158,14 @@ def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
             if base_grid is None
             else jnp.asarray(base_grid, jnp.float32)
         )
-        grid, _ = jax.lax.scan(
-            chunk_body,
-            grid0,
-            (u_p.reshape(-1, CHUNK, 3), q_p.reshape(-1, CHUNK)),
-        )
+        if npad == chunk:
+            grid, _ = chunk_body(grid0, (u_p, q_p))
+        else:
+            grid, _ = jax.lax.scan(
+                chunk_body,
+                grid0,
+                (u_p.reshape(-1, chunk, 3), q_p.reshape(-1, chunk)),
+            )
 
         # real-input FFT: half spectrum along z with multiplicity weights
         # (2 for interior kz planes, 1 for kz = 0 and the Nyquist plane)

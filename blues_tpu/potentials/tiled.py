@@ -94,15 +94,31 @@ def make_tiled_pair_sum(
     softcore_alpha: float = 0.5,
     periodic: bool = True,
     switch_distance: float = None,
+    col_idx=None,
 ):
     """Returns pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) with custom VJP
-    on the energy (F reused as the pullback)."""
+    on the energy (F reused as the pullback).
+
+    col_idx: optional static global indices of the column subset (frozen-
+    system column culling; caller guarantees completeness via a displacement
+    guard). None = all atoms."""
     n, npad = feats.n_atoms, feats.n_padded
     nr, nr_pad = feats.n_rows, feats.n_rows_padded
     n_row_tiles = nr_pad // TILE
     row_idx = jnp.asarray(feats.row_idx)
     ann = 1.0 if annihilate_sterics else 0.0
     use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
+    full_cols = col_idx is None
+    if not full_cols:
+        cols_np = np.asarray(col_idx, np.int64)
+        nc = len(cols_np)
+        ncpad = ((nc + TILE - 1) // TILE) * TILE
+        col_gid_np = np.full(ncpad, -1.0, np.float64)
+        col_gid_np[:nc] = cols_np
+        cols_pad_np = np.concatenate([cols_np, np.zeros(ncpad - nc, np.int64)])
+        col_pad_pos = 1e3 * (1.0 + np.arange(ncpad - nc))
+    else:
+        nc, ncpad = n, npad
 
     def _pass(x, box, lam_s, f_na, f_aa):
         dtype = x.dtype
@@ -123,7 +139,24 @@ def make_tiled_pair_sum(
         xp = xp.at[n:].set(pad_pos)
         blen = jnp.diagonal(box).astype(dtype) if box is not None else None
 
-        col_idx = jnp.arange(npad)
+        if full_cols:
+            col_gid = jnp.arange(npad)
+            xpc = xp
+            qs_c, qa_c, sig_c, eps_c, af_c, inr_c = qs, qa, sig, eps, af, inr
+        else:
+            col_gid = jnp.asarray(col_gid_np, dtype)
+            xpc = jnp.concatenate(
+                [
+                    x[jnp.asarray(cols_pad_np[:nc])],
+                    jnp.asarray(col_pad_pos, dtype)[:, None] * jnp.ones(3, dtype),
+                ]
+            )
+            qs_c = qs[jnp.asarray(cols_pad_np)].at[nc:].set(0.0)
+            qa_c = qa[jnp.asarray(cols_pad_np)].at[nc:].set(0.0)
+            sig_c = sig[jnp.asarray(cols_pad_np)]
+            eps_c = eps[jnp.asarray(cols_pad_np)].at[nc:].set(0.0)
+            af_c = af[jnp.asarray(cols_pad_np)].at[nc:].set(0.0)
+            inr_c = inr[jnp.asarray(cols_pad_np)].at[nc:].set(0.0)
         # row-compacted per-atom arrays (global order when no freezing)
         xr = xp[row_idx]  # (Nr_pad, 3)
         row_global = row_idx
@@ -132,12 +165,12 @@ def make_tiled_pair_sum(
             e_acc = carry
             xi = jax.lax.dynamic_slice(xr, (i0, 0), (TILE, 3))
             gidx = jax.lax.dynamic_slice(row_global, (i0,), (TILE,))
-            dr = xi[:, None, :] - xp[None, :, :]
+            dr = xi[:, None, :] - xpc[None, :, :]
             if periodic and blen is not None:
                 dr = dr - blen * jnp.round(dr / blen)
             r2 = jnp.sum(dr * dr, -1)
             local = i0 + jnp.arange(TILE)
-            valid = (gidx[:, None] != col_idx[None, :]) & (local[:, None] < nr)
+            valid = (gidx[:, None] != col_gid[None, :]) & (local[:, None] < nr)
             if use_cutoff:
                 valid = valid & (r2 < cutoff * cutoff)
             r2 = jnp.maximum(r2, 1e-6)
@@ -146,15 +179,15 @@ def make_tiled_pair_sum(
                 return a[gidx]
 
             ai = sl(af)[:, None]
-            aj = af[None, :]
+            aj = af_c[None, :]
             aa = ai * aj
             na = ai + aj - 2.0 * aa
             scale_ster = na + ann * aa
-            sij = 0.5 * (sl(sig)[:, None] + sig[None, :])
-            eij = jnp.sqrt(sl(eps)[:, None] * eps[None, :])
-            qq_std = sl(qs)[:, None] * qs[None, :]
-            qq_na = sl(qs)[:, None] * qa[None, :] + sl(qa)[:, None] * qs[None, :]
-            qq_aa = sl(qa)[:, None] * qa[None, :]
+            sij = 0.5 * (sl(sig)[:, None] + sig_c[None, :])
+            eij = jnp.sqrt(sl(eps)[:, None] * eps_c[None, :])
+            qq_std = sl(qs)[:, None] * qs_c[None, :]
+            qq_na = sl(qs)[:, None] * qa_c[None, :] + sl(qa)[:, None] * qs_c[None, :]
+            qq_aa = sl(qa)[:, None] * qa_c[None, :]
             e, g = pair_energy_force(
                 r2, sij, eij, qq_std, qq_na, qq_aa, scale_ster,
                 lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
@@ -166,7 +199,7 @@ def make_tiled_pair_sum(
             g = jnp.where(valid, g, 0.0)
             f_i = -jnp.einsum("ij,ijd->id", g, dr)
             # row-row pairs appear from both sides (0.5); row-frozen once (1.0)
-            wcol = 1.0 - 0.5 * sl(inr)[:, None] * inr[None, :]
+            wcol = 1.0 - 0.5 * sl(inr)[:, None] * inr_c[None, :]
             e_acc = e_acc + jnp.sum(wcol * e)
             return e_acc, f_i
 

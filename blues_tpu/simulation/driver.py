@@ -73,6 +73,9 @@ class SimulationConfig:
     constraint_tolerance: float = 1e-6
     use_pallas: Optional[bool] = None
     nonbonded_backend: str = "auto"
+    #: frozen-system pair-kernel column culling skin (nm); None disables.
+    #: See potentials.nonbonded.make_nonbonded_energy(frozen_cull_skin=...).
+    frozen_cull_skin: Optional[float] = 0.45
     #: NCMC snapshot schedule in integrator-step units, with the reference's
     #: sentinels (0.5 -> moveStep, -1 -> last step; blues/settings.py:271-277).
     #: None = the default (0, moveStep, nstepsNC) protocol start/mid/end.
@@ -89,6 +92,10 @@ class IterationStats:
     ncmc_potential: jax.Array  # alchemical potential at protocol end
     mid_work: jax.Array  # protocol work accumulated at the midpoint move
     selected_move: jax.Array  # index of the move chosen this iteration
+    #: MD relaxation produced a non-finite energy and was rolled back (the
+    #: recoverable analog of the reference's dump-frame-and-exit,
+    #: blues/simulation.py:1203-1213)
+    md_failed: jax.Array = None
 
 
 class NCMCFrames(NamedTuple):
@@ -119,6 +126,12 @@ class BLUESSimulation:
         # energy functions: the MD potential ignores the alchemical region;
         # the NCMC potential is lambda-parameterized
         md_system = system.replace(alchemical=None)
+        # teleporting moves (water hop, darting) have no local displacement
+        # bound — the frozen-system column-culling guard would veto every
+        # proposal, so culling is disabled for them (see moves.base.Move)
+        cull_skin = config.frozen_cull_skin
+        if move is not None and getattr(move, "teleports", False):
+            cull_skin = None
         common = dict(
             nonbonded_method=config.nonbonded_method,
             cutoff=config.cutoff,
@@ -126,6 +139,7 @@ class BLUESSimulation:
             ewald_tolerance=config.ewald_tolerance,
             use_pallas=config.use_pallas,
             nonbonded_backend=config.nonbonded_backend,
+            frozen_cull_skin=cull_skin,
         )
         self.energy_md = make_energy_fn(md_system, **common)
         if system.alchemical is not None or system.custom_pairs:
@@ -247,6 +261,11 @@ class BLUESSimulation:
             v = self._constrain[1](v, x)
 
             # --- MD relaxation (NVT, or NPT when pressure is set) ----------
+            # keep the pre-MD state so a non-finite MD segment (cell-list
+            # overflow, culling-guard poison, blow-up) rolls back instead of
+            # corrupting the run — recoverable analog of the reference's
+            # dump-frame-and-exit failure path (blues/simulation.py:1203-1213)
+            x_keep, v_keep, box_keep, bstate_keep = x, v, box, bstate
             _, f0 = self.force_md(x, box, None)
             barostat = self._barostat
             chunk_size = interval if interval is not None else (
@@ -282,6 +301,14 @@ class BLUESSimulation:
             x, v, _, key, box, bstate = carry
 
             e_md_end = energy_md(x, box, None)
+            md_ok = jnp.isfinite(e_md_end) & jnp.all(jnp.isfinite(x))
+            x = jnp.where(md_ok, x, x_keep)
+            v = jnp.where(md_ok, v, v_keep)
+            box = jnp.where(md_ok, box, box_keep)
+            if bstate is not None:
+                bstate = jax.tree.map(
+                    lambda a, b: jnp.where(md_ok, a, b), bstate, bstate_keep
+                )
             aux = res.move_aux
             selected = (
                 aux["selected"]
@@ -297,6 +324,7 @@ class BLUESSimulation:
                 ncmc_potential=res.e_final,
                 mid_work=res.mid_work,
                 selected_move=selected,
+                md_failed=~md_ok,
             )
             # NCMC snapshot frames at the configured frame_indices
             # (default: protocol start / midpoint / end; reference sentinels

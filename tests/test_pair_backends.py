@@ -126,3 +126,67 @@ def test_pair_force_factors_match_fd(kind):
         em, _ = fn(r - h)
         fd = (float(ep) - float(em)) / (2 * h) / r
         assert abs(float(g) - fd) < 5e-3 * max(abs(fd), 1.0), (kind, r, float(g), fd)
+
+
+def test_frozen_column_culling():
+    """Static column culling (frozen_cull_skin): energies/forces identical to
+    the unculled computation while mobile atoms respect their reach bounds
+    (per-atom skin for binding-site rows, a COM ball for the alchemical
+    region so instantaneous rotations stay legal); violating a bound poisons
+    to NaN. Runs on watDivaline (3,593 atoms) where the box is large enough
+    for culling to engage."""
+    import warnings
+
+    system = load_prmtop(f"{DATA}/watDivaline.prmtop")
+    crd = load_inpcrd(f"{DATA}/watDivaline.inpcrd")
+    system = system.replace(box=crd.box)
+    val = system.topology.select_resname("VAL")
+    system = system.replace(alchemical=AlchemicalRegion(atoms=val[:16]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        frozen = system.freeze_radius(np.asarray(crd.positions), val[:16], 0.3)
+    x = jnp.asarray(crd.positions, jnp.float32)
+    box = jnp.asarray(crd.box, jnp.float32)
+    kw = dict(method="PME", cutoff=0.6, alchemical=system.alchemical,
+              box_for_pme=np.asarray(crd.box), masses=frozen.masses,
+              frozen_ref_positions=np.asarray(crd.positions))
+    # both sides use the frozen-background PME grid; only culling differs
+    plain = make_nonbonded_energy(
+        system.nonbonded, backend="tiled", frozen_cull_skin=None, **kw)
+    culled = make_nonbonded_energy(
+        system.nonbonded, backend="tiled", frozen_cull_skin=0.25, **kw)
+    is_alch = np.zeros(system.n_atoms, bool)
+    is_alch[val[:16]] = True
+    mobile = np.where(frozen.masses > 0)[0]
+    mob_nonalch = mobile[~is_alch[mobile]]
+    lam = {"lambda_sterics": 0.5, "lambda_electrostatics": 0.3}
+    # agreement is exact in f64; the f32 tolerance is summation-order
+    # cancellation noise on the clashy stored config (same caveat as
+    # test_frozen_rows_equivalence)
+    e0, e1 = float(plain(x, box, lam)), float(culled(x, box, lam))
+    assert abs(e0 - e1) <= 5e-4 * abs(e0)
+    g0 = jax.grad(plain)(x, box, lam)
+    g1 = jax.grad(culled)(x, box, lam)
+    assert float(jnp.max(jnp.abs(g0[mobile] - g1[mobile]))) < 2e-3
+    # small in-skin displacement: still agrees
+    x2 = np.array(crd.positions)
+    x2[mobile] += 0.05
+    x2 = jnp.asarray(x2, jnp.float32)
+    d0 = float(plain(x2, box, lam)) - e0
+    d1 = float(culled(x2, box, lam)) - e1
+    assert abs(d0 - d1) < 1e-3 * abs(d0) + 16.0
+    # an alchemical-region rotation about its COM keeps the guard green
+    alch = val[:16]
+    w = np.asarray(system.masses)[alch]
+    com = (np.asarray(crd.positions)[alch] * w[:, None]).sum(0) / w.sum()
+    c, s = np.cos(2.2), np.sin(2.2)
+    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    x4 = np.array(crd.positions)
+    x4[alch] = (x4[alch] - com) @ R.T + com
+    assert np.isfinite(float(culled(jnp.asarray(x4, jnp.float32), box, lam)))
+    # a non-alchemical mobile atom drifting past the skin poisons to NaN
+    # (driver rejects/rolls back), never silently wrong
+    x3 = np.array(crd.positions)
+    x3[mob_nonalch[0]] += 0.5
+    assert not np.isfinite(float(culled(jnp.asarray(x3, jnp.float32), box, lam)))
+    assert np.isfinite(float(plain(jnp.asarray(x3, jnp.float32), box, lam)))
