@@ -58,6 +58,8 @@ def make_energy_fn(
     for cp in system.custom_pairs:
         fn = make_custom_pair_energy(cp)
         terms.append(lambda x, box, g, _f=fn: _f(x, box, g))
+    bonded_terms = list(terms)
+    nb_fn = None
     if system.nonbonded is not None:
         nb_fn = make_nonbonded_energy(
             system.nonbonded,
@@ -84,6 +86,31 @@ def make_energy_fn(
             e = e + t(positions, box, globals_)
         return e
 
+    # neighbor-list hooks (verlet backend): MD drivers build a list every
+    # `rebuild_interval` steps and evaluate E+F against it — autodiffed
+    # bonded/corrections/PME forces plus the list kernel's analytic pair
+    # forces (potentials/verlet.py)
+    pair_sum = getattr(nb_fn, "pair_sum", None)
+    if pair_sum is not None and hasattr(pair_sum, "build"):
+
+        def rest_energy(positions, box=None, globals_=None):
+            e = nb_fn.rest(positions, box, globals_)
+            for t in bonded_terms:
+                e = e + t(positions, box, globals_)
+            return e
+
+        rest_vg = jax.value_and_grad(rest_energy)
+
+        def force_with_nlist(nlist, positions, box=None, globals_=None):
+            e_r, g_r = rest_vg(positions, box, globals_)
+            lam = nb_fn.pair_factors(globals_, positions.dtype)
+            e_p, f_p = pair_sum.apply(nlist, positions, box, *lam)
+            return e_r + e_p, f_p - g_r
+
+        energy_fn.nlist_build = pair_sum.build
+        energy_fn.force_with_nlist = force_with_nlist
+        energy_fn.nlist_skin = pair_sum.skin
+    energy_fn.nonbonded = nb_fn
     return energy_fn
 
 

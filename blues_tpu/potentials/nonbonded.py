@@ -214,22 +214,33 @@ def make_nonbonded_energy(
             mobile_frac = (
                 float((np.asarray(masses) > 0).mean()) if masses is not None else 1.0
             )
-            if _jax.default_backend() == "tpu":
+            if mobile_frac >= 1.0 and n > 8192:
+                # large fully-mobile periodic systems: the verlet list wins
+                # on both platforms (falls back below if ineligible)
+                backend = "verlet"
+            elif _jax.default_backend() == "tpu":
                 backend = "pallas"
             else:
                 backend = "cells" if mobile_frac > 0.5 else "tiled"
-    if backend == "cells":
-        # cell lists need a periodic box and a grid of >= 27 cells
+    if backend in ("cells", "verlet"):
+        # cell/verlet lists need a periodic box and a grid of >= 27 cells
         from .cells import _grid_shape
 
+        edge = cutoff + (0.1 if backend == "verlet" else 0.0)
         eligible = (
             method in (PME, CUTOFF_PERIODIC)
             and box_for_pme is not None
-            and int(np.prod(_grid_shape(np.diag(np.asarray(box_for_pme)), cutoff))) >= 27
+            and int(np.prod(_grid_shape(np.diag(np.asarray(box_for_pme)), edge))) >= 27
         )
+        if backend == "verlet" and masses is not None:
+            # the verlet backend has no frozen-row compaction; frozen
+            # systems route to the column-culled pallas/tiled kernels
+            eligible = eligible and bool((np.asarray(masses) > 0).all())
         if not eligible:
-            backend = "tiled"
-    if backend in ("tiled", "pallas", "cells"):
+            import jax as _jax
+
+            backend = "pallas" if _jax.default_backend() == "tpu" else "tiled"
+    if backend in ("tiled", "pallas", "cells", "verlet"):
         return _make_pair_backend_energy(
             nb,
             method=method,
@@ -665,6 +676,10 @@ def _make_pair_backend_energy(
         from .cells import make_cell_pair_sum
 
         pair_sum = make_cell_pair_sum(feats, box0=box_for_pme, **common)
+    elif backend == "verlet":
+        from .verlet import make_verlet_pair_sum
+
+        pair_sum = make_verlet_pair_sum(feats, box0=box_for_pme, **common)
     else:
         pair_sum = make_tiled_pair_sum(feats, col_idx=col_idx, **common)
 
@@ -692,8 +707,9 @@ def _make_pair_backend_energy(
         # subtract only pairs the row-compacted sum actually included
         x_included = in_rows_np[excl[:, 0]] | in_rows_np[excl[:, 1]]
 
-    def energy(positions, box=None, globals_=None):
-        dtype = positions.dtype
+    def pair_factors(globals_, dtype):
+        """globals dict -> the (lam_s, f_na, f_aa) triple the pair kernels
+        consume (used by drivers feeding the neighbor-list apply path)."""
         g = globals_ or {}
         lam_s = jnp.asarray(g.get("lambda_sterics", 1.0), dtype)
         lam_e = jnp.asarray(g.get("lambda_electrostatics", 1.0), dtype)
@@ -701,10 +717,18 @@ def _make_pair_backend_energy(
         f_aa = lam_e * lam_e if exact else lam_e
         if not sc.annihilate_electrostatics:
             f_aa = jnp.asarray(1.0, dtype)
+        return lam_s, f_na, f_aa
 
-        e_total = pair_sum.energy(positions, box, lam_s, f_na, f_aa)
-        if cull_guard is not None:
-            e_total = e_total + cull_guard(positions, box)
+    def energy_rest(positions, box=None, globals_=None):
+        """Everything except the pair-kernel sum: exclusion/exception
+        corrections, PME reciprocal/self/plasma, dispersion. Split out so
+        neighbor-list drivers can combine autodiffed rest-forces with the
+        list kernel's analytic pair forces."""
+        dtype = positions.dtype
+        g = globals_ or {}
+        lam_s, f_na, f_aa = pair_factors(g, dtype)
+        lam_e = jnp.asarray(g.get("lambda_electrostatics", 1.0), dtype)
+        e_total = jnp.zeros((), dtype)
 
         # subtract excluded pairs (same per-pair formula, same cutoff mask)
         if len(excl):
@@ -788,7 +812,21 @@ def _make_pair_backend_energy(
             e_total = e_total + disp_coeff / vol
         return e_total
 
+    def energy(positions, box=None, globals_=None):
+        dtype = positions.dtype
+        lam_s, f_na, f_aa = pair_factors(globals_, dtype)
+        e_total = pair_sum.energy(positions, box, lam_s, f_na, f_aa)
+        if cull_guard is not None:
+            e_total = e_total + cull_guard(positions, box)
+        return e_total + energy_rest(positions, box, globals_)
+
     energy.pme_params = pme_params
     #: (n_culled_columns, n_atoms) when column culling engaged, else None
     energy.cull_info = (len(col_idx), n) if col_idx is not None else None
+    #: neighbor-list hooks (verlet backend): drivers build a list once and
+    #: apply it across steps, combining autodiffed rest-forces with the
+    #: list kernel's analytic pair forces
+    energy.pair_sum = pair_sum
+    energy.rest = energy_rest
+    energy.pair_factors = pair_factors
     return energy

@@ -76,6 +76,10 @@ class SimulationConfig:
     #: frozen-system pair-kernel column culling skin (nm); None disables.
     #: See potentials.nonbonded.make_nonbonded_energy(frozen_cull_skin=...).
     frozen_cull_skin: Optional[float] = 0.45
+    #: MD steps between neighbor-list rebuilds (verlet backend only). The
+    #: staleness guard poisons to NaN if the skin is outrun, so a too-long
+    #: interval rolls the segment back instead of sampling wrong physics.
+    nlist_rebuild_interval: int = 10
     #: NCMC snapshot schedule in integrator-step units, with the reference's
     #: sentinels (0.5 -> moveStep, -1 -> last step; blues/settings.py:271-277).
     #: None = the default (0, moveStep, nstepsNC) protocol start/mid/end.
@@ -196,6 +200,19 @@ class BLUESSimulation:
         self._md_step = make_md_step(
             self.force_md, system.masses, lp, constrain_x, constrain_v
         )
+        # verlet-backend MD: the neighbor list is rebuilt every
+        # nlist_rebuild_interval steps and applied in between (analytic
+        # pair forces + autodiffed rest terms — potentials/verlet.py)
+        self._md_nlist = None
+        if hasattr(self.energy_md, "nlist_build"):
+
+            def md_nlist_step_factory(nlist):
+                ffn = lambda xx, bb, g: self.energy_md.force_with_nlist(
+                    nlist, xx, bb, g
+                )
+                return make_md_step(ffn, system.masses, lp, constrain_x, constrain_v)
+
+            self._md_nlist = (self.energy_md.nlist_build, md_nlist_step_factory)
 
         self._kT = units.kT(config.temperature)
         if config.pressure is not None:
@@ -275,10 +292,35 @@ class BLUESSimulation:
             n_chunks = n_md // chunk_size if n_md > 0 else 0
             n_rem = n_md - n_chunks * chunk_size  # leftover steps < chunk_size
 
+            md_nlist = self._md_nlist
+            R = max(1, cfg.nlist_rebuild_interval)
+
+            def run_md_steps(inner, k):
+                """k BAOAB steps; with the verlet backend, the neighbor list
+                is rebuilt every R steps and reused in between."""
+                if k <= 0:
+                    return inner
+                if md_nlist is None:
+                    inner, _ = jax.lax.scan(md_step, inner, None, length=k)
+                    return inner
+                build, step_factory = md_nlist
+
+                def seg(carry, _, kk=R):
+                    x, v, f, key, box = carry
+                    step = step_factory(build(x, box))
+                    out, _ = jax.lax.scan(step, (x, v, f, key, box), None, length=kk)
+                    return out, None
+
+                n_seg, rem = k // R, k % R
+                if n_seg > 0:
+                    inner, _ = jax.lax.scan(seg, inner, None, length=n_seg)
+                if rem > 0:
+                    inner, _ = seg(inner, None, kk=rem)
+                return inner
+
             def chunk(carry, _):
                 x, v, f, key, box, bstate = carry
-                inner = (x, v, f, key, box)
-                inner, _ = jax.lax.scan(md_step, inner, None, length=chunk_size)
+                inner = run_md_steps((x, v, f, key, box), chunk_size)
                 x, v, f, key, box = inner
                 if barostat is not None:
                     key, bk = jax.random.split(key)
@@ -294,8 +336,7 @@ class BLUESSimulation:
             if n_rem > 0:
                 # remainder MD steps (no barostat attempt, no frame)
                 x, v, f, key, box, bstate = carry
-                inner = (x, v, f, key, box)
-                inner, _ = jax.lax.scan(md_step, inner, None, length=n_rem)
+                inner = run_md_steps((x, v, f, key, box), n_rem)
                 x, v, f, key, box = inner
                 carry = (x, v, f, key, box, bstate)
             x, v, _, key, box, bstate = carry
