@@ -94,7 +94,8 @@ def _build_clusters(constraints: Constraints, masses):
         for a, slot in local.items():
             atoms[c, slot] = a
             atom_valid[c, slot] = True
-        # pad unused atom slots with the first atom (gather-safe, masked)
+        # pad unused atom slots with the first atom (gather-safe, masked);
+        # scatters use a separate uniquely-indexed table (see below)
         for slot in range(len(local), a_max):
             atoms[c, slot] = atoms[c, 0]
         for kk, k in enumerate(cons):
@@ -104,8 +105,19 @@ def _build_clusters(constraints: Constraints, masses):
             d2[c, kk] = d[k] * d[k]
 
     invm_c = invm[atoms] * atom_valid  # (C, A)
+    # uniquely-indexed scatter table: every PAD slot gets its own ghost
+    # index >= n_atoms, so the projection's scatter-add has provably unique
+    # indices and XLA vectorizes it (duplicate-index scatters serialize on
+    # TPU — they were the dominant cost of a projection at 22k atoms)
+    n_atoms = int(max(idx.max() + 1, len(masses)))
+    scatter_atoms = atoms.copy().astype(np.int64)
+    pads = ~atom_valid
+    scatter_atoms[pads] = n_atoms + np.arange(int(pads.sum()))
     return dict(
         atoms=atoms,
+        scatter_atoms=scatter_atoms.astype(np.int32),
+        n_atoms=n_atoms,
+        n_ghost=int(pads.sum()),
         atom_valid=atom_valid,
         con_i=con_i,
         con_j=con_j,
@@ -194,14 +206,23 @@ def make_constraint_fns(constraints: Constraints, masses, tol: float = 1e-6):
     vv = con_valid.astype(np.float64)
     pad_eye_np = eye[None] * (1.0 - vv[:, :, None] * vv[:, None, :])
 
+    scatter_atoms = jnp.asarray(cl["scatter_atoms"].reshape(-1))
+    n_ghost = cl["n_ghost"]
+
     def _gather(x):
         return x[atoms]  # (C, A, 3)
 
     def _scatter_delta(x, p, p0):
-        # padded slots alias atom 0; scatter the *delta* masked to valid
-        # slots so duplicates contribute zero
+        # pad slots own distinct ghost indices (>= n), so indices are
+        # unique and the scatter-add vectorizes instead of serializing
         delta = (p - p0) * atom_valid_f[:, :, None]
-        return x.at[atoms.reshape(-1)].add(delta.reshape(-1, 3).astype(x.dtype))
+        ext = jnp.concatenate([x, jnp.zeros((n_ghost, 3), x.dtype)])
+        ext = ext.at[scatter_atoms].add(
+            delta.reshape(-1, 3).astype(x.dtype),
+            unique_indices=True,
+            indices_are_sorted=False,
+        )
+        return ext[: x.shape[0]]
 
     def constrain_positions(x_new, x_ref):
         dtype = x_new.dtype

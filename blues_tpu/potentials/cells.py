@@ -44,13 +44,16 @@ def _grid_shape(box_lengths, cutoff, shrink_margin=0.97):
 
 
 def _neighbor_table(ncells, half=False):
-    """(nc_tot, K) neighbor cell ids with periodic wrap; duplicate wrapped
-    neighbors are replaced by the empty-cell marker nc_tot (so tiny grids
-    never double-count). With ``half``, only the self cell (always first)
-    plus the 13 lexicographically-positive offsets are listed — Newton's
-    third law halves the pair work; the kernel then orders self-cell pairs
-    by atom id and scatters forces to both sides."""
+    """(nc_tot, K) neighbor cell ids with periodic wrap plus the (nc_tot,
+    K, 3) image shifts (in box lengths) of each neighbor relative to the
+    home cell. Duplicate wrapped neighbors are replaced by the empty-cell
+    marker nc_tot (so tiny grids never double-count). With ``half``, only
+    the self cell (always first) plus the 13 lexicographically-positive
+    offsets are listed — Newton's third law halves the pair work; the
+    kernel then orders self-cell pairs by atom id and scatters forces to
+    both sides."""
     nx, ny, nz = (int(v) for v in ncells)
+    dims = (nx, ny, nz)
     nc_tot = nx * ny * nz
     ids = np.arange(nc_tot).reshape(nx, ny, nz)
     if half:
@@ -70,6 +73,7 @@ def _neighbor_table(ncells, half=False):
         ]
     K = len(offsets)
     table = np.full((nc_tot, K), nc_tot, np.int32)
+    shifts = np.zeros((nc_tot, K, 3), np.int8)
     for cx in range(nx):
         for cy in range(ny):
             for cz in range(nz):
@@ -77,9 +81,14 @@ def _neighbor_table(ncells, half=False):
                 for dx, dy, dz in offsets:
                     c = ids[(cx + dx) % nx, (cy + dy) % ny, (cz + dz) % nz]
                     if c not in seen:
+                        k = len(seen)
                         seen.append(c)
+                        # image shift: neighbor coords floor-divided by dims
+                        shifts[ids[cx, cy, cz], k] = [
+                            (v + d) // s for v, d, s in zip((cx, cy, cz), (dx, dy, dz), dims)
+                        ]
                 table[ids[cx, cy, cz], : len(seen)] = seen
-    return table
+    return table, shifts
 
 
 def _round8(v, minimum=8):
@@ -128,9 +137,11 @@ def make_cell_pair_sum(
     # Pallas neighbor kernel, where the reduction stays in VMEM.
     half = half_neighborhood and nr == n and int(ncells.min()) >= 3
     mean_all = n / nc_tot
-    # occupancy headroom: mean + 5 sqrt(mean) covers equilibrium density
-    # fluctuations of condensed systems; overflow poisons to NaN rather
-    # than dropping pairs
+    # occupancy headroom: mean + 5 sqrt(mean) + 8. Equilibrium density
+    # fluctuations of condensed systems are much smaller (near-
+    # incompressible), but unminimized lattice starts with solute holes
+    # measure up to 1.55x the mean per cell; overflow poisons to NaN
+    # rather than dropping pairs
     cap_col = _round8(mean_all + 5.0 * np.sqrt(mean_all) + 8.0)
     # active rows can cluster spatially (freeze_radius binding sites), but a
     # cell never holds more rows than atoms — bound by cap_col and by nr
@@ -140,9 +151,19 @@ def make_cell_pair_sum(
     # neighbor table padded to the chunked cell count; pad rows point at the
     # always-empty marker cell nc_tot
     n_nbr = 14 if half else 27
+    table, shifts = _neighbor_table(ncells, half=half)
     nbr_np = np.full((nc_pad, n_nbr), nc_tot, np.int32)
-    nbr_np[:nc_tot] = _neighbor_table(ncells, half=half)
+    nbr_np[:nc_tot] = table
+    shift_np = np.zeros((nc_pad, n_nbr, 3), np.float32)
+    shift_np[:nc_tot] = shifts
     nbr = jnp.asarray(nbr_np)
+    # static image shifts make the minimum image a fused multiply-add
+    # instead of a round + divide per pair and dimension — positions are
+    # stored box-wrapped, and each (cell, neighbor) block carries its wrap
+    # count in box lengths. Only exact for >= 3 cells per dimension (else a
+    # wrapped offset aliases two images); smaller grids keep the round path.
+    use_shifts = bool(ncells.min() >= 3)
+    shift_tab = jnp.asarray(shift_np)
 
     ncells_j = jnp.asarray(ncells.astype(np.float64))
     strides = jnp.asarray(
@@ -205,9 +226,12 @@ def make_cell_pair_sum(
     def _pass(x, box, lam_s, f_na, f_aa):
         dtype = x.dtype
         L = jnp.diagonal(box).astype(dtype)
+        xw = x - L * jnp.floor(x / L)
+        # positions travel box-wrapped so the static shift table gives the
+        # exact minimum image without a per-pair round/divide
         chan = jnp.concatenate(
             [
-                x,
+                xw if use_shifts else x,
                 jnp.asarray(feats.q_std[:n], dtype)[:, None],
                 jnp.asarray(feats.q_alch[:n], dtype)[:, None],
                 jnp.asarray(feats.sigma[:n], dtype)[:, None],
@@ -219,7 +243,6 @@ def make_cell_pair_sum(
             axis=1,
         )  # (n, C)
 
-        xw = x - L * jnp.floor(x / L)
         cid = _cell_ids(xw, L)
         all_ids = jnp.arange(n)
         cols_buf, over_c = _pack(all_ids, cid, cap_col, x, chan)
@@ -238,15 +261,21 @@ def make_cell_pair_sum(
                 rows_buf, (c0, 0, 0), (CELL_CHUNK, rcap, C)
             )  # (B, R, C)
             nbr_c = jax.lax.dynamic_slice(nbr, (c0, 0), (CELL_CHUNK, n_nbr))
-            cols = cols_buf[nbr_c].reshape(CELL_CHUNK, n_nbr * cap_col, C)
+            cols = cols_buf[nbr_c]  # (B, K, Cc, C)
 
-            xi = rows[:, :, None, 0:3]
-            xj = cols[:, None, :, 0:3]
-            dr = xi - xj
-            dr = dr - L * jnp.round(dr / L)
-            r2 = jnp.sum(dr * dr, -1)
-            gid_i = rows[:, :, None, 9]
-            gid_j = cols[:, None, :, 9]
+            xi = rows[:, :, None, None, 0:3]
+            xj = cols[:, None, :, :, 0:3]
+            if use_shifts:
+                sh = jax.lax.dynamic_slice(
+                    shift_tab, (c0, 0, 0), (CELL_CHUNK, n_nbr, 3)
+                ).astype(dtype)
+                dr = xi - (xj + (sh * L)[:, None, :, None, :])
+            else:
+                dr = xi - xj
+                dr = dr - L * jnp.round(dr / L)
+            r2 = jnp.sum(dr * dr, -1)  # (B, R, K, Cc)
+            gid_i = rows[:, :, None, None, 9]
+            gid_j = cols[:, None, :, :, 9]
             valid = (
                 (gid_i != gid_j)
                 & (gid_i < n)
@@ -254,25 +283,25 @@ def make_cell_pair_sum(
                 & (r2 < cutoff * cutoff)
             )
             if half:
-                # self cell occupies the first cap_col column slots: order
-                # those pairs by atom id so each intra-cell pair counts once
+                # the self cell is neighbor block 0: order those pairs by
+                # atom id so each intra-cell pair counts once
                 self_block = (
-                    jnp.arange(n_nbr * cap_col) < cap_col
-                )[None, None, :]
+                    jnp.arange(n_nbr) == 0
+                )[None, None, :, None]
                 valid = valid & (~self_block | (gid_i < gid_j))
             r2 = jnp.maximum(r2, 1e-6)
-            ai = rows[:, :, None, 7]
-            aj = cols[:, None, :, 7]
+            ai = rows[:, :, None, None, 7]
+            aj = cols[:, None, :, :, 7]
             aa = ai * aj
             scale_ster = ai + aj - 2.0 * aa + ann * aa
             e, g = pair_energy_force(
                 r2,
-                0.5 * (rows[:, :, None, 5] + cols[:, None, :, 5]),
-                jnp.sqrt(rows[:, :, None, 6] * cols[:, None, :, 6]),
-                rows[:, :, None, 3] * cols[:, None, :, 3],
-                rows[:, :, None, 3] * cols[:, None, :, 4]
-                + rows[:, :, None, 4] * cols[:, None, :, 3],
-                rows[:, :, None, 4] * cols[:, None, :, 4],
+                0.5 * (rows[:, :, None, None, 5] + cols[:, None, :, :, 5]),
+                jnp.sqrt(rows[:, :, None, None, 6] * cols[:, None, :, :, 6]),
+                rows[:, :, None, None, 3] * cols[:, None, :, :, 3],
+                rows[:, :, None, None, 3] * cols[:, None, :, :, 4]
+                + rows[:, :, None, None, 4] * cols[:, None, :, :, 3],
+                rows[:, :, None, None, 4] * cols[:, None, :, :, 4],
                 scale_ster,
                 lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
                 alpha_ewald=alpha_ewald, k_rf=k_rf, c_rf=c_rf,
@@ -285,9 +314,9 @@ def make_cell_pair_sum(
             if half:
                 # every pair counted once: full energy, forces to both sides
                 e_acc = e_acc + jnp.sum(e)
-                f_rows = -jnp.einsum("brc,brcd->brd", g, dr)
-                f_cols = jnp.einsum("brc,brcd->bcd", g, dr)  # (B, C, 3)
-                cid_j = jnp.minimum(cols[:, :, 9].astype(jnp.int32), n)
+                f_rows = -jnp.einsum("brkc,brkcd->brd", g, dr)
+                f_cols = jnp.einsum("brkc,brkcd->bkcd", g, dr)  # (B, K, Cc, 3)
+                cid_j = jnp.minimum(cols[:, :, :, 9].astype(jnp.int32), n)
                 f_acc = f_acc.at[rid.reshape(-1)].add(
                     f_rows.reshape(-1, 3), mode="drop"
                 )
@@ -296,9 +325,9 @@ def make_cell_pair_sum(
                 )
             else:
                 # both-sides visit: row-row pairs weigh 0.5, row-frozen 1.0
-                wcol = 1.0 - 0.5 * rows[:, :, None, 8] * cols[:, None, :, 8]
+                wcol = 1.0 - 0.5 * rows[:, :, None, None, 8] * cols[:, None, :, :, 8]
                 e_acc = e_acc + jnp.sum(wcol * e)
-                f_rows = -jnp.einsum("brc,brcd->brd", g, dr)  # (B, R, 3)
+                f_rows = -jnp.einsum("brkc,brkcd->brd", g, dr)  # (B, R, 3)
                 f_acc = f_acc.at[rid.reshape(-1)].add(
                     f_rows.reshape(-1, 3), mode="drop"
                 )
