@@ -70,6 +70,26 @@ class KahanAccumulator:
         return self.total
 
 
+@pytree_dataclass
+class NaiveAccumulator:
+    """Plain-sum accumulator with the KahanAccumulator interface — used to
+    MEASURE the accumulation error Kahan removes (tools/
+    run_production_protocol.py quantifies |dW| over a 10k-step protocol)."""
+
+    total: jax.Array
+
+    @classmethod
+    def zeros(cls, dtype=jnp.float32, shape=()):
+        return cls(jnp.zeros(shape, dtype))
+
+    def add(self, value) -> "NaiveAccumulator":
+        return NaiveAccumulator(self.total + value)
+
+    @property
+    def value(self):
+        return self.total
+
+
 def maxwell_boltzmann_velocities(key, masses, temperature: float, dtype=jnp.float32):
     """Sample velocities from the Maxwell-Boltzmann distribution.
 

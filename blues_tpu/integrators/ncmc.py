@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import units
-from ..core.state import KahanAccumulator
+from ..core.state import KahanAccumulator, NaiveAccumulator
 from .langevin import LangevinParams, make_baoab_machinery
 from .schedules import NCMCSchedule
 
@@ -73,6 +73,7 @@ def make_ncmc_protocol(
     dtype=jnp.float32,
     record_micro=(),
     splitting: str = "H V R O R V H",
+    naive_accumulation: bool = False,
 ):
     """Build protocol_fn(x, v, box, key) -> NCMCResult.
 
@@ -165,7 +166,10 @@ def make_ncmc_protocol(
             aux = None
 
         e0 = energy_fn(x, box, g_initial)
-        work = KahanAccumulator.zeros(dtype)
+        # naive_accumulation exists to MEASURE the f32 accumulation error
+        # Kahan removes (SURVEY.md 7.3.5); production always uses Kahan
+        acc_cls = NaiveAccumulator if naive_accumulation else KahanAccumulator
+        work = acc_cls.zeros(dtype)
         mid_positions, mid_work = x, work.value
         carry = (x, v, key, work, e0, box)
         snaps, snap_works = [], []

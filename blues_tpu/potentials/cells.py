@@ -109,6 +109,7 @@ def make_cell_pair_sum(
     switch_distance: float = None,
     box0=None,
     half_neighborhood: bool = False,
+    alch_coulomb: bool = False,
 ):
     """Same interface as make_tiled_pair_sum: pair_sum(x, box, lam_s, f_na,
     f_aa) -> (E, F), with .energy exposing a custom-VJP scalar function.
@@ -261,21 +262,27 @@ def make_cell_pair_sum(
                 rows_buf, (c0, 0, 0), (CELL_CHUNK, rcap, C)
             )  # (B, R, C)
             nbr_c = jax.lax.dynamic_slice(nbr, (c0, 0), (CELL_CHUNK, n_nbr))
-            cols = cols_buf[nbr_c]  # (B, K, Cc, C)
-
-            xi = rows[:, :, None, None, 0:3]
-            xj = cols[:, None, :, :, 0:3]
+            cols4 = cols_buf[nbr_c]  # (B, K, Cc, C)
             if use_shifts:
+                # apply the per-(cell, neighbor) image shift to the column
+                # positions BEFORE flattening: the per-pair minimum image
+                # then needs no round/divide at all
                 sh = jax.lax.dynamic_slice(
                     shift_tab, (c0, 0, 0), (CELL_CHUNK, n_nbr, 3)
                 ).astype(dtype)
-                dr = xi - (xj + (sh * L)[:, None, :, None, :])
-            else:
-                dr = xi - xj
+                cols4 = cols4.at[:, :, :, 0:3].add(
+                    (sh * L)[:, :, None, :]
+                )
+            cols = cols4.reshape(CELL_CHUNK, n_nbr * cap_col, C)
+
+            xi = rows[:, :, None, 0:3]
+            xj = cols[:, None, :, 0:3]
+            dr = xi - xj
+            if not use_shifts:
                 dr = dr - L * jnp.round(dr / L)
-            r2 = jnp.sum(dr * dr, -1)  # (B, R, K, Cc)
-            gid_i = rows[:, :, None, None, 9]
-            gid_j = cols[:, None, :, :, 9]
+            r2 = jnp.sum(dr * dr, -1)
+            gid_i = rows[:, :, None, 9]
+            gid_j = cols[:, None, :, 9]
             valid = (
                 (gid_i != gid_j)
                 & (gid_i < n)
@@ -283,30 +290,31 @@ def make_cell_pair_sum(
                 & (r2 < cutoff * cutoff)
             )
             if half:
-                # the self cell is neighbor block 0: order those pairs by
-                # atom id so each intra-cell pair counts once
+                # self cell occupies the first cap_col column slots: order
+                # those pairs by atom id so each intra-cell pair counts once
                 self_block = (
-                    jnp.arange(n_nbr) == 0
-                )[None, None, :, None]
+                    jnp.arange(n_nbr * cap_col) < cap_col
+                )[None, None, :]
                 valid = valid & (~self_block | (gid_i < gid_j))
             r2 = jnp.maximum(r2, 1e-6)
-            ai = rows[:, :, None, None, 7]
-            aj = cols[:, None, :, :, 7]
+            ai = rows[:, :, None, 7]
+            aj = cols[:, None, :, 7]
             aa = ai * aj
             scale_ster = ai + aj - 2.0 * aa + ann * aa
             e, g = pair_energy_force(
                 r2,
-                0.5 * (rows[:, :, None, None, 5] + cols[:, None, :, :, 5]),
-                jnp.sqrt(rows[:, :, None, None, 6] * cols[:, None, :, :, 6]),
-                rows[:, :, None, None, 3] * cols[:, None, :, :, 3],
-                rows[:, :, None, None, 3] * cols[:, None, :, :, 4]
-                + rows[:, :, None, None, 4] * cols[:, None, :, :, 3],
-                rows[:, :, None, None, 4] * cols[:, None, :, :, 4],
+                0.5 * (rows[:, :, None, 5] + cols[:, None, :, 5]),
+                jnp.sqrt(rows[:, :, None, 6] * cols[:, None, :, 6]),
+                rows[:, :, None, 3] * cols[:, None, :, 3],
+                rows[:, :, None, 3] * cols[:, None, :, 4]
+                + rows[:, :, None, 4] * cols[:, None, :, 3],
+                rows[:, :, None, 4] * cols[:, None, :, 4],
                 scale_ster,
                 lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
                 alpha_ewald=alpha_ewald, k_rf=k_rf, c_rf=c_rf,
                 softcore_alpha=softcore_alpha,
                 switch_distance=switch_distance, cutoff=cutoff,
+                alch_coulomb=alch_coulomb,
             )
             e = jnp.where(valid, e, 0.0)
             g = jnp.where(valid, g, 0.0)
@@ -314,9 +322,9 @@ def make_cell_pair_sum(
             if half:
                 # every pair counted once: full energy, forces to both sides
                 e_acc = e_acc + jnp.sum(e)
-                f_rows = -jnp.einsum("brkc,brkcd->brd", g, dr)
-                f_cols = jnp.einsum("brkc,brkcd->bkcd", g, dr)  # (B, K, Cc, 3)
-                cid_j = jnp.minimum(cols[:, :, :, 9].astype(jnp.int32), n)
+                f_rows = -jnp.einsum("brc,brcd->brd", g, dr)
+                f_cols = jnp.einsum("brc,brcd->bcd", g, dr)  # (B, C, 3)
+                cid_j = jnp.minimum(cols[:, :, 9].astype(jnp.int32), n)
                 f_acc = f_acc.at[rid.reshape(-1)].add(
                     f_rows.reshape(-1, 3), mode="drop"
                 )
@@ -325,9 +333,9 @@ def make_cell_pair_sum(
                 )
             else:
                 # both-sides visit: row-row pairs weigh 0.5, row-frozen 1.0
-                wcol = 1.0 - 0.5 * rows[:, :, None, None, 8] * cols[:, None, :, :, 8]
+                wcol = 1.0 - 0.5 * rows[:, :, None, 8] * cols[:, None, :, 8]
                 e_acc = e_acc + jnp.sum(wcol * e)
-                f_rows = -jnp.einsum("brkc,brkcd->brd", g, dr)  # (B, R, 3)
+                f_rows = -jnp.einsum("brc,brcd->brd", g, dr)  # (B, R, 3)
                 f_acc = f_acc.at[rid.reshape(-1)].add(
                     f_rows.reshape(-1, 3), mode="drop"
                 )

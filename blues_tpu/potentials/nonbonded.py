@@ -195,10 +195,10 @@ def make_nonbonded_energy(
     mobile atom ever drifts farther than the skin from its build position
     (-> rejected iteration, never silently wrong physics). None disables.
     """
-    if alchemical_pme_treatment not in ("direct-space", "exact"):
+    if alchemical_pme_treatment not in ("direct-space", "coulomb", "exact"):
         raise ValueError(
             f"unsupported alchemical_pme_treatment {alchemical_pme_treatment!r}; "
-            "implemented: 'direct-space' (reference default), 'exact'"
+            "implemented: 'direct-space' (reference default), 'coulomb', 'exact'"
         )
     n = nb.charge.shape[0]
     if backend == "auto":
@@ -286,6 +286,7 @@ def make_nonbonded_energy(
 
     # Effective charges for the "standard" path (recip/self/standard direct).
     exact = alchemical_pme_treatment == "exact"
+    alch_coulomb = alchemical_pme_treatment == "coulomb" and method == PME
     # direct-space treatment: alchemical charges removed from standard path.
     q_std = np.where(is_alch, 0.0, charges) if (alchemical is not None and not exact) else charges
 
@@ -376,11 +377,13 @@ def make_nonbonded_energy(
         fr = coulomb_kernel(r, method, cutoff, alpha, k_rf, c_rf)
         e_el = ke * jnp.asarray(qq_std, dtype) * fr
         if alchemical is not None and not exact:
-            # direct-space lambda-scaled term for alchemical pairs (raw q)
+            # direct-space lambda-scaled term for alchemical pairs (raw q);
+            # the 'coulomb' treatment uses the bare 1/r kernel instead of
+            # the Ewald erfc attenuation (openmmtools option)
             scale_e = jnp.asarray(scale_elec_np)
             alch_pair = jnp.asarray(any_alch_pair_np)
             if method == PME:
-                f_alch = jax.lax.erfc(alpha * r) / r
+                f_alch = (1.0 / r) if alch_coulomb else (jax.lax.erfc(alpha * r) / r)
             else:
                 f_alch = fr
             e_alch = ke * jnp.asarray(qq_raw, dtype) * f_alch
@@ -492,6 +495,11 @@ def _make_pair_backend_energy(
     if alchemical is not None and len(alchemical.atoms):
         is_alch[np.asarray(alchemical.atoms, np.int64)] = True
     exact = alchemical_pme_treatment == "exact"
+    alch_coulomb = (
+        alchemical_pme_treatment == "coulomb"
+        and method == PME
+        and alchemical is not None
+    )
 
     if method == PME:
         if pme_params is None:
@@ -569,6 +577,7 @@ def _make_pair_backend_energy(
         softcore_alpha=sc.softcore_alpha,
         periodic=periodic,
         switch_distance=switch_distance,
+        alch_coulomb=alch_coulomb,
     )
     # --- static column culling for frozen systems ---------------------------
     # With a cutoff method and frozen reference positions, a mobile (row)
@@ -754,6 +763,7 @@ def _make_pair_backend_energy(
                 softcore_alpha=sc.softcore_alpha,
                 switch_distance=switch_distance,
                 cutoff=cutoff,
+                alch_coulomb=alch_coulomb,
             )
             if use_cutoff:
                 e_x = jnp.where(r2 < cutoff * cutoff, e_x, 0.0)

@@ -134,8 +134,14 @@ def pair_energy_force(
     softcore_alpha: float = 0.5,
     switch_distance: float = None,
     cutoff: float = 0.0,
+    alch_coulomb: bool = False,
 ):
-    """Full pair term on broadcastable arrays. Returns (e, g)."""
+    """Full pair term on broadcastable arrays. Returns (e, g).
+
+    alch_coulomb: openmmtools' 'coulomb' alchemical PME treatment — the
+    alchemical pairs (qq_na / qq_aa) use the plain 1/r Coulomb kernel in
+    direct space instead of the Ewald erfc attenuation (their charges are
+    removed from the reciprocal sum exactly as in 'direct-space')."""
     lam_eff = jnp.where(scale_ster, lam_sterics, 1.0)
     e_lj, g_lj = softcore_lj(r2, sig, eps, lam_eff, softcore_alpha)
     if switch_distance is not None:
@@ -144,6 +150,12 @@ def pair_energy_force(
         s, ds_dr, inv_r = lj_switch(r2, cutoff, switch_distance)
         g_lj = s * g_lj + ds_dr * e_lj * inv_r
         e_lj = s * e_lj
+    if alch_coulomb and method == "PME":
+        qq_alch = f_na * qq_na + f_aa * qq_aa
+        e_el, g_el = coulomb_erfc(r2, qq_std, alpha_ewald)
+        e_a, g_a = coulomb_plain(r2, qq_alch)
+        e_el, g_el = e_el + e_a, g_el + g_a
+        return e_lj + e_el, g_lj + g_el
     qq = qq_std + f_na * qq_na + f_aa * qq_aa
     if method == "PME":
         e_el, g_el = coulomb_erfc(r2, qq, alpha_ewald)

@@ -45,7 +45,7 @@ F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH, F_INROWS, F_CGID = 0, 1, 2, 3, 4, 5, 6
 R_GID, R_VALID = 5, 6
 
 
-def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, periodic, n_atoms, switch_distance=None):
+def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, periodic, n_atoms, switch_distance=None, alch_coulomb=False):
     use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
 
     def kernel(params_ref, xi_ref, xj_ref, fi_ref, fj_ref, out_ref):
@@ -105,6 +105,7 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
             softcore_alpha=softcore_alpha,
             switch_distance=switch_distance,
             cutoff=cutoff,
+            alch_coulomb=alch_coulomb,
         )
         e = jnp.where(valid, e, 0.0)
         g = jnp.where(valid, g, 0.0)
@@ -136,6 +137,7 @@ def make_pallas_pair_sum(
     switch_distance: float = None,
     interpret: bool = None,
     col_idx=None,
+    alch_coulomb: bool = False,
 ):
     """Same interface as make_tiled_pair_sum: pair_sum(x, box, lam_s, f_na,
     f_aa) -> (E, F), with .energy exposing a custom-VJP scalar function.
@@ -185,7 +187,7 @@ def make_pallas_pair_sum(
     kernel = _make_kernel(
         method, cutoff, alpha_ewald, k_rf, c_rf,
         1.0 if annihilate_sterics else 0.0, softcore_alpha, periodic, n,
-        switch_distance=switch_distance,
+        switch_distance=switch_distance, alch_coulomb=alch_coulomb,
     )
 
     # park padded atoms far apart (q = eps = 0 anyway)

@@ -95,6 +95,7 @@ def make_tiled_pair_sum(
     periodic: bool = True,
     switch_distance: float = None,
     col_idx=None,
+    alch_coulomb: bool = False,
 ):
     """Returns pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) with custom VJP
     on the energy (F reused as the pullback).
@@ -194,6 +195,7 @@ def make_tiled_pair_sum(
                 alpha_ewald=alpha_ewald, k_rf=k_rf, c_rf=c_rf,
                 softcore_alpha=softcore_alpha,
                 switch_distance=switch_distance, cutoff=cutoff,
+                alch_coulomb=alch_coulomb,
             )
             e = jnp.where(valid, e, 0.0)
             g = jnp.where(valid, g, 0.0)

@@ -89,6 +89,7 @@ def make_verlet_pair_sum(
     box0=None,
     skin: float = 0.1,
     capacity: int = None,
+    alch_coulomb: bool = False,
 ):
     """Same stateless interface as make_tiled_pair_sum, plus
     .build(x, box) -> nlist and .apply(nlist, x, box, lam_s, f_na, f_aa).
@@ -265,6 +266,7 @@ def make_verlet_pair_sum(
                 alpha_ewald=alpha_ewald, k_rf=k_rf, c_rf=c_rf,
                 softcore_alpha=softcore_alpha,
                 switch_distance=switch_distance, cutoff=cutoff,
+                alch_coulomb=alch_coulomb,
             )
             e = jnp.where(valid, e, 0.0)
             g = jnp.where(valid, g, 0.0)

@@ -42,7 +42,7 @@ def test_erfc_approx_accuracy():
     assert np.max(np.abs(ours - scipy_erfc(x))) < 7e-7
 
 
-@pytest.mark.parametrize("treatment", ["direct-space", "exact"])
+@pytest.mark.parametrize("treatment", ["direct-space", "coulomb", "exact"])
 @pytest.mark.parametrize("other", ["tiled", "pallas"])
 def test_backend_agreement(tol_system, treatment, other):
     system, crd = tol_system
