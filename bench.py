@@ -136,7 +136,8 @@ def ncmc_protocol_sps(system, x0, backend, n_rep=3, replicas=8, minimize_steps=4
 
 
 def unfrozen_eval_ms(system, x0, backend, n_rep=10):
-    """Unfrozen full-system energy+force eval time (the MD-stage cost)."""
+    """Unfrozen full-system energy+force eval time (the MD-stage cost),
+    scan-amortized (the remote-TPU tunnel has a ~2.5 ms dispatch floor)."""
     from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
 
     try:
@@ -147,19 +148,61 @@ def unfrozen_eval_ms(system, x0, backend, n_rep=10):
     except ValueError as e:
         log(f"# backend {backend} ineligible: {e}")
         return None
-    ffn = jax.jit(make_force_fn(efn))
+    ffn = make_force_fn(efn)
     box = jnp.asarray(system.box, jnp.float32)
     x = jnp.asarray(x0, jnp.float32)
-    e, f = ffn(x, box, None)
-    jax.block_until_ready(f)
-    if not bool(jnp.isfinite(e)):
+
+    @jax.jit
+    def scanned(x0):
+        def body(c, _):
+            e, f = ffn(c, box, None)
+            return c + 1e-30 * f + 1e-30 * e, e
+
+        return jax.lax.scan(body, x0, None, length=10)
+
+    out, es = scanned(x)
+    jax.block_until_ready(out)
+    if not bool(jnp.isfinite(es[0])):
         log(f"# backend {backend}: non-finite energy at bench config")
         return None
     t0 = time.time()
     for _ in range(n_rep):
-        e, f = ffn(x, box, None)
-    jax.block_until_ready(f)
-    return (time.time() - t0) / n_rep * 1e3
+        out, es = scanned(x)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / (n_rep * 10) * 1e3
+
+
+def unfrozen_md_step_ms(system, x0, backend="cells", n_steps=20, n_rep=3):
+    """Full unfrozen BAOAB MD step (force + constraints + OU), the
+    production nstepsMD-stage cost (reference rotmove_cuda.yml:56)."""
+    from blues_tpu.core.state import maxwell_boltzmann_velocities
+    from blues_tpu.integrators.constraints import make_constraint_fns
+    from blues_tpu.integrators.langevin import LangevinParams, run_md
+    from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
+
+    efn = make_energy_fn(
+        system, nonbonded_method="PME", cutoff=0.9, ewald_tolerance=0.005,
+        nonbonded_backend=backend,
+    )
+    ffn = make_force_fn(efn)
+    cx, cv = make_constraint_fns(system.constraints, system.masses)
+    lp = LangevinParams(dt=0.002, friction=1.0, temperature=300.0)
+    box = jnp.asarray(system.box, jnp.float32)
+    x = jnp.asarray(x0, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    v = cv(maxwell_boltzmann_velocities(key, system.masses, 300.0), x)
+
+    @jax.jit
+    def md(x, v, key):
+        return run_md(ffn, system.masses, lp, cx, cv, x, v, box, key, n_steps)[0]
+
+    out = md(x, v, key)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for i in range(n_rep):
+        out = md(x, v, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    return (time.time() - t0) / (n_rep * n_steps) * 1e3
 
 
 def watdivaline_sps():
@@ -215,6 +258,13 @@ def main():
             evals[b] = round(ms, 2)
             log(f"# unfrozen 22k E+F eval [{b}]: {ms:.2f} ms")
 
+    md_ms = None
+    try:
+        md_ms = unfrozen_md_step_ms(system, x0, backend="cells" if on_tpu else "cells")
+        log(f"# unfrozen 22k MD step [cells]: {md_ms:.2f} ms")
+    except Exception as e:
+        log(f"# unfrozen MD-step bench failed: {e}")
+
     wd_sps = None
     try:
         wd_sps = watdivaline_sps()
@@ -234,6 +284,7 @@ def main():
                 "single_replica_steps_per_sec": round(single_sps, 2),
                 "aggregate_8_replicas_steps_per_sec": round(agg_sps, 2),
                 "unfrozen_eval_ms": evals,
+                "unfrozen_md_step_ms": round(md_ms, 2) if md_ms else None,
                 "watdivaline_steps_per_sec": round(wd_sps, 2) if wd_sps else None,
                 "unit": "switching_steps/s",
                 "vs_baseline": round(steps_per_sec / OPENMM_CPU_BASELINE_STEPS_PER_SEC, 2),

@@ -15,6 +15,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.system import System
 from . import bonded
@@ -35,6 +36,7 @@ def make_energy_fn(
     dispersion_correction: bool = True,
     switch_distance: float = None,
     frozen_cull_skin: float = 0.45,
+    frozen_cull_cage_margin: float = 1.0,
 ) -> Callable:
     """Build energy_fn(positions, box=None, globals_=None) -> scalar kJ/mol."""
     terms = []
@@ -77,6 +79,17 @@ def make_energy_fn(
             dispersion_correction=dispersion_correction,
             switch_distance=switch_distance,
             frozen_cull_skin=frozen_cull_skin,
+            frozen_cull_cage_margin=frozen_cull_cage_margin,
+            # the cull bond graph needs CONSTRAINED bonds too (H bonds are
+            # constraints, not harmonic bonds — without them every H is a
+            # spurious singleton "free fragment")
+            bonds_for_cull=(
+                np.concatenate(
+                    [np.asarray(e.idx).reshape(-1, 2) for e in (system.bonds, system.constraints) if len(e)]
+                )
+                if (len(system.bonds) or len(system.constraints))
+                else None
+            ),
         )
         terms.append(lambda x, box, g: nb_fn(x, box, g))
 

@@ -182,6 +182,8 @@ def make_nonbonded_energy(
     dispersion_correction: bool = True,
     switch_distance=None,
     frozen_cull_skin: Optional[float] = 0.45,
+    frozen_cull_cage_margin: float = 1.0,
+    bonds_for_cull=None,
 ):
     """Build fn(positions, box, globals) -> energy for the full nonbonded term.
 
@@ -257,6 +259,8 @@ def make_nonbonded_energy(
             dispersion_correction=dispersion_correction,
             switch_distance=switch_distance,
             frozen_cull_skin=frozen_cull_skin,
+            frozen_cull_cage_margin=frozen_cull_cage_margin,
+            bonds_for_cull=bonds_for_cull,
         )
     if switch_distance is not None and not (0.0 < switch_distance < cutoff):
         raise ValueError(
@@ -477,6 +481,8 @@ def _make_pair_backend_energy(
     dispersion_correction: bool = True,
     switch_distance=None,
     frozen_cull_skin: Optional[float] = 0.45,
+    frozen_cull_cage_margin: float = 1.0,
+    bonds_for_cull=None,
 ):
     """Large-system nonbonded energy: tiled/pallas pair sum + corrections.
 
@@ -580,25 +586,31 @@ def _make_pair_backend_energy(
         alch_coulomb=alch_coulomb,
     )
     # --- static column culling for frozen systems ---------------------------
-    # With a cutoff method and frozen reference positions, a mobile (row)
-    # atom that stays within its *reach bound* can only interact with atoms
-    # within (cutoff + bound) of its build position, so the pair kernel's
-    # columns are statically restricted to that set — the TPU-native analog
-    # of OpenMM's neighbor-list culling for the reference's freeze_radius
-    # production protocol (blues/simulation.py:394-480). Two bounds:
-    #   * non-alchemical mobile rows (binding-site residues): stay within
-    #     `skin` of their build position;
-    #   * alchemical rows (the move target): instantaneous MC moves rotate
-    #     the region about its COM (reference: blues/moves.py:278-310), so
-    #     the per-atom bound is a COM-centered ball of radius
-    #     r_alch + 2*skin (rotation preserves |x - COM| exactly; the 2*skin
-    #     margin covers COM drift and center mismatch).
-    # A runtime guard poisons the energy to NaN when either bound is
-    # violated (driver NaN -> reject/rollback, SURVEY.md 5.2), so culling is
-    # never silently wrong. Teleporting moves (water hop, darting) have no
-    # such bound — drivers must disable culling for them (move.teleports).
+    # With a cutoff method and frozen reference positions, every mobile
+    # (row) atom gets a *permanent reach ball* (center, radius) it can never
+    # leave, so the pair kernel's columns are statically restricted to the
+    # atoms within (cutoff + radius) of the balls — the TPU-native analog of
+    # OpenMM's neighbor-list culling for the reference's freeze_radius
+    # production protocol (blues/simulation.py:394-480). The balls:
+    #   * anchored atoms (bonded, through mobile atoms, to a frozen anchor):
+    #     center = the anchor's fixed position, radius = the summed bond
+    #     lengths along the shortest such path (a hard geometric bound — a
+    #     chain cannot extend past its own length; 10% stretch margin). This
+    #     holds for ALL time, so production-length runs never outrun it
+    #     (binding-site sidechains measured drifting ~1 nm over 2 ps, far
+    #     past any fixed displacement skin).
+    #   * unanchored alchemical atoms (a free ligand): a ball around the
+    #     region's build COM of radius r_alch + max(2*skin, 1.0) — rotations
+    #     preserve |x - COM| and the margin covers diffusive COM drift of
+    #     the decoupled ligand inside the frozen site cage.
+    #   * unanchored non-alchemical mobiles have no bound: culling disables.
+    # A runtime guard poisons the energy to NaN when a ball is violated
+    # (driver NaN -> reject/rollback, SURVEY.md 5.2), so culling is never
+    # silently wrong. Teleporting moves (water hop, darting) have no bound —
+    # drivers disable culling for them (move.teleports).
     col_idx = None
     cull_guard = None
+    cull_bounds = None
     if (
         active_rows is not None
         and frozen_ref_positions is not None
@@ -615,65 +627,129 @@ def _make_pair_backend_energy(
             else None
         )
         rows_np = np.asarray(active_rows, np.int64)
-        alch_rows_mask = is_alch[rows_np]
-        na_rows = rows_np[~alch_rows_mask]
-        al_rows = rows_np[alch_rows_mask]
-        colmask = np.zeros(n, bool)
+        row_set = set(rows_np.tolist())
+        centers = np.zeros((len(rows_np), 3))
+        radii = np.full(len(rows_np), -1.0)  # -1 = unbounded
 
-        def _dmin2_to(points):
-            out = np.full(n, np.inf)
-            for lo in range(0, len(points), 512):  # bound the N x Np temp
-                d = x0[:, None, :] - points[None, lo : lo + 512, :]
-                if Lnp is not None:
-                    d -= Lnp * np.round(d / Lnp)
-                out = np.minimum(out, (d * d).sum(-1).min(1))
-            return out
+        # anchored-chain bounds via multi-source Dijkstra from the frozen
+        # boundary over the mobile bond graph (edge weight = build bond
+        # length * 1.1 stretch margin)
+        if bonds_for_cull is not None and len(bonds_for_cull):
+            import heapq
 
-        if len(na_rows):
-            reach = cutoff + skin
-            colmask |= _dmin2_to(x0[na_rows]) <= reach * reach
-        b_alch2 = 0.0
-        if len(al_rows):
-            w = (
-                np.asarray(masses, np.float64)[al_rows]
+            b = np.asarray(bonds_for_cull, np.int64)
+            db = x0[b[:, 0]] - x0[b[:, 1]]
+            if Lnp is not None:
+                db -= Lnp * np.round(db / Lnp)
+            blen = np.linalg.norm(db, axis=1) * 1.1 + 0.01
+            row_pos = {int(a): k for k, a in enumerate(rows_np)}
+            adj = {}
+            heap = []
+            best = {}
+            anchor = {}
+            for (i, j), L in zip(b, blen):
+                i, j = int(i), int(j)
+                ri, rj = i in row_set, j in row_set
+                if ri and rj:
+                    adj.setdefault(i, []).append((j, L))
+                    adj.setdefault(j, []).append((i, L))
+                elif ri and not rj:
+                    if L < best.get(i, np.inf):
+                        best[i] = L
+                        anchor[i] = j
+                        heapq.heappush(heap, (L, i, j))
+                elif rj and not ri:
+                    if L < best.get(j, np.inf):
+                        best[j] = L
+                        anchor[j] = i
+                        heapq.heappush(heap, (L, j, i))
+            done = set()
+            while heap:
+                d, a, anc = heapq.heappop(heap)
+                if a in done or d > best.get(a, np.inf):
+                    continue
+                done.add(a)
+                anchor[a] = anc
+                for nb_a, L in adj.get(a, ()):  # relax neighbors
+                    nd = d + L
+                    if nd < best.get(nb_a, np.inf):
+                        best[nb_a] = nd
+                        anchor[nb_a] = anc
+                        heapq.heappush(heap, (nd, nb_a, anc))
+            for a in done:
+                k = row_pos[a]
+                centers[k] = x0[anchor[a]]
+                radii[k] = best[a]
+
+        # unanchored mobiles (a free ligand, free shell fragments, mobile
+        # waters): per connected component, a ball around the component's
+        # build COM with a cage-drift margin — physically the frozen
+        # environment cages them near the site; a component that diffuses
+        # past the margin is deep in frozen solvent, where re-coupling would
+        # be rejected anyway, so the veto is statistically benign. The
+        # alchemical region's move invariance (rotation preserves |x - COM|)
+        # falls out of the same bound.
+        unanchored = radii < 0
+        if unanchored.any():
+            # connected components over row-row bonds restricted to
+            # unanchored atoms (isolated atoms form singleton components)
+            comp = {int(a): int(a) for a in rows_np[unanchored]}
+
+            def find(a):
+                while comp[a] != a:
+                    comp[a] = comp[comp[a]]
+                    a = comp[a]
+                return a
+
+            if bonds_for_cull is not None and len(bonds_for_cull):
+                for i, j in np.asarray(bonds_for_cull, np.int64):
+                    i, j = int(i), int(j)
+                    if i in comp and j in comp:
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            comp[ri] = rj
+            groups = {}
+            for k, a in enumerate(rows_np):
+                if unanchored[k]:
+                    groups.setdefault(find(int(a)), []).append(k)
+            m_np = (
+                np.asarray(masses, np.float64)
                 if masses is not None
-                else np.ones(len(al_rows))
+                else np.ones(n)
             )
-            w = np.maximum(w, 1e-12)
-            com0 = (x0[al_rows] * w[:, None]).sum(0) / w.sum()
-            r_alch = np.sqrt(((x0[al_rows] - com0) ** 2).sum(-1).max())
-            b_alch = r_alch + 2.0 * skin
-            b_alch2 = b_alch * b_alch
-            reach_a = cutoff + b_alch
-            colmask |= _dmin2_to(com0[None, :]) <= reach_a * reach_a
+            for ks in groups.values():
+                al = rows_np[ks]
+                w = np.maximum(m_np[al], 1e-12)
+                com0 = (x0[al] * w[:, None]).sum(0) / w.sum()
+                r_comp = np.sqrt(((x0[al] - com0) ** 2).sum(-1).max())
+                centers[ks] = com0
+                radii[ks] = r_comp + max(2.0 * skin, float(frozen_cull_cage_margin))
+
+        colmask = np.zeros(n, bool)
+        for lo in range(0, len(rows_np), 512):  # bound the N x Nr temp
+            c = centers[lo : lo + 512]
+            r = radii[lo : lo + 512]
+            d = x0[:, None, :] - c[None, :, :]
+            if Lnp is not None:
+                d -= Lnp * np.round(d / Lnp)
+            reach = (cutoff + r)[None, :]
+            colmask |= ((d * d).sum(-1) <= reach * reach).any(1)
         colmask[rows_np] = True
         if colmask.mean() <= 0.75:  # only cull when it actually pays
             col_idx = np.where(colmask)[0].astype(np.int32)
-            skin2 = skin * skin
-            na_x0_j = jnp.asarray(x0[na_rows]) if len(na_rows) else None
-            na_rows_j = jnp.asarray(na_rows.astype(np.int32))
-            al_rows_j = jnp.asarray(al_rows.astype(np.int32))
-            com0_j = jnp.asarray(com0) if len(al_rows) else None
+            cull_bounds = (rows_np.copy(), centers.copy(), radii.copy())
+            rows_j = jnp.asarray(rows_np.astype(np.int32))
+            centers_j = jnp.asarray(centers)
+            radii2_j = jnp.asarray((radii + 1e-3) ** 2)
 
             def cull_guard(positions, box):
-                bl = (
-                    jnp.diagonal(box).astype(positions.dtype)
-                    if (periodic and box is not None)
-                    else None
+                d = positions[rows_j] - centers_j.astype(positions.dtype)
+                if periodic and box is not None:
+                    bl = jnp.diagonal(box).astype(positions.dtype)
+                    d = d - bl * jnp.round(d / bl)
+                bad = jnp.any(
+                    jnp.sum(d * d, -1) > radii2_j.astype(positions.dtype)
                 )
-
-                def _maxd2(d):
-                    if bl is not None:
-                        d = d - bl * jnp.round(d / bl)
-                    return jnp.max(jnp.sum(d * d, -1))
-
-                bad = jnp.zeros((), bool)
-                if na_x0_j is not None:
-                    d2 = _maxd2(positions[na_rows_j] - na_x0_j.astype(positions.dtype))
-                    bad |= d2 > skin2
-                if com0_j is not None:
-                    d2 = _maxd2(positions[al_rows_j] - com0_j.astype(positions.dtype))
-                    bad |= d2 > b_alch2
                 bad = jax.lax.stop_gradient(bad)
                 return jnp.where(bad, jnp.nan, 0.0)
 
@@ -833,6 +909,8 @@ def _make_pair_backend_energy(
     energy.pme_params = pme_params
     #: (n_culled_columns, n_atoms) when column culling engaged, else None
     energy.cull_info = (len(col_idx), n) if col_idx is not None else None
+    #: (row_atom_ids, ball_centers, ball_radii) of the culling guard
+    energy.cull_bounds = cull_bounds if col_idx is not None else None
     #: neighbor-list hooks (verlet backend): drivers build a list once and
     #: apply it across steps, combining autodiffed rest-forces with the
     #: list kernel's analytic pair forces

@@ -128,13 +128,7 @@ def test_pair_force_factors_match_fd(kind):
         assert abs(float(g) - fd) < 5e-3 * max(abs(fd), 1.0), (kind, r, float(g), fd)
 
 
-def test_frozen_column_culling():
-    """Static column culling (frozen_cull_skin): energies/forces identical to
-    the unculled computation while mobile atoms respect their reach bounds
-    (per-atom skin for binding-site rows, a COM ball for the alchemical
-    region so instantaneous rotations stay legal); violating a bound poisons
-    to NaN. Runs on watDivaline (3,593 atoms) where the box is large enough
-    for culling to engage."""
+def _watdiv_culled_pair():
     import warnings
 
     system = load_prmtop(f"{DATA}/watDivaline.prmtop")
@@ -145,16 +139,28 @@ def test_frozen_column_culling():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         frozen = system.freeze_radius(np.asarray(crd.positions), val[:16], 0.3)
-    x = jnp.asarray(crd.positions, jnp.float32)
-    box = jnp.asarray(crd.box, jnp.float32)
     kw = dict(method="PME", cutoff=0.6, alchemical=system.alchemical,
               box_for_pme=np.asarray(crd.box), masses=frozen.masses,
-              frozen_ref_positions=np.asarray(crd.positions))
-    # both sides use the frozen-background PME grid; only culling differs
+              frozen_ref_positions=np.asarray(crd.positions),
+              bonds_for_cull=np.asarray(system.bonds.idx))
     plain = make_nonbonded_energy(
         system.nonbonded, backend="tiled", frozen_cull_skin=None, **kw)
     culled = make_nonbonded_energy(
-        system.nonbonded, backend="tiled", frozen_cull_skin=0.25, **kw)
+        system.nonbonded, backend="tiled", frozen_cull_skin=0.25,
+        frozen_cull_cage_margin=0.3, **kw)
+    return system, crd, frozen, val, plain, culled
+
+
+def test_frozen_column_culling():
+    """Static column culling: energies/forces identical to the unculled
+    computation while mobile atoms stay inside their permanent reach balls
+    (anchored-chain bounds; COM ball for a free alchemical region);
+    violating a ball poisons to NaN. Runs on watDivaline (3,593 atoms)
+    where the box is large enough for culling to engage."""
+    system, crd, frozen, val, plain, culled = _watdiv_culled_pair()
+    assert culled.cull_info is not None  # chain bounds engaged culling
+    x = jnp.asarray(crd.positions, jnp.float32)
+    box = jnp.asarray(crd.box, jnp.float32)
     is_alch = np.zeros(system.n_atoms, bool)
     is_alch[val[:16]] = True
     mobile = np.where(frozen.masses > 0)[0]
@@ -168,25 +174,50 @@ def test_frozen_column_culling():
     g0 = jax.grad(plain)(x, box, lam)
     g1 = jax.grad(culled)(x, box, lam)
     assert float(jnp.max(jnp.abs(g0[mobile] - g1[mobile]))) < 2e-3
-    # small in-skin displacement: still agrees
+    # small physical displacement: still agrees (chain balls hold)
     x2 = np.array(crd.positions)
-    x2[mobile] += 0.05
+    x2[mobile] += 0.02
     x2 = jnp.asarray(x2, jnp.float32)
     d0 = float(plain(x2, box, lam)) - e0
     d1 = float(culled(x2, box, lam)) - e1
     assert abs(d0 - d1) < 1e-3 * abs(d0) + 16.0
-    # an alchemical-region rotation about its COM keeps the guard green
-    alch = val[:16]
-    w = np.asarray(system.masses)[alch]
-    com = (np.asarray(crd.positions)[alch] * w[:, None]).sum(0) / w.sum()
-    c, s = np.cos(2.2), np.sin(2.2)
-    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
-    x4 = np.array(crd.positions)
-    x4[alch] = (x4[alch] - com) @ R.T + com
-    assert np.isfinite(float(culled(jnp.asarray(x4, jnp.float32), box, lam)))
-    # a non-alchemical mobile atom drifting past the skin poisons to NaN
+    # a mobile atom displaced far past its chain ball poisons to NaN
     # (driver rejects/rolls back), never silently wrong
     x3 = np.array(crd.positions)
-    x3[mob_nonalch[0]] += 0.5
+    x3[mob_nonalch[0]] += 1.0
     assert not np.isfinite(float(culled(jnp.asarray(x3, jnp.float32), box, lam)))
     assert np.isfinite(float(plain(jnp.asarray(x3, jnp.float32), box, lam)))
+
+
+def test_culling_free_ligand_rotation_stays_green():
+    """A FREE (unanchored) alchemical ligand rotates about its COM without
+    tripping the culling guard (the COM-ball bound), and the guard still
+    poisons when the ligand leaves the ball entirely."""
+    import warnings
+
+    from blues_tpu.testsystems import t4_scale_binding_site_box
+
+    system, x0 = t4_scale_binding_site_box(n_atoms=9000, n_peptides=8)
+    lig = system.topology.select_resname("LIG")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        frozen = system.freeze_radius(np.asarray(x0), lig, 0.5)
+    from blues_tpu.potentials.energy import make_energy_fn
+
+    efn = make_energy_fn(frozen, nonbonded_method="PME", cutoff=0.9,
+                         nonbonded_backend="tiled", frozen_cull_skin=0.15,
+                         frozen_cull_cage_margin=0.35)
+    assert efn.nonbonded.cull_info is not None
+    x = jnp.asarray(x0, jnp.float32)
+    box = jnp.asarray(system.box, jnp.float32)
+    w = np.asarray(system.masses)[lig]
+    com = (np.asarray(x0)[lig] * w[:, None]).sum(0) / w.sum()
+    c, s = np.cos(2.2), np.sin(2.2)
+    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    x4 = np.array(x0)
+    x4[lig] = (x4[lig] - com) @ R.T + com
+    assert np.isfinite(float(efn(jnp.asarray(x4, jnp.float32), box, None)))
+    # translate the ligand out of the ball: poison
+    x5 = np.array(x0)
+    x5[lig] += 2.5
+    assert not np.isfinite(float(efn(jnp.asarray(x5, jnp.float32), box, None)))

@@ -50,6 +50,7 @@ def main():
     from blues_tpu.testsystems import t4_scale_binding_site_box
 
     n_nc = int(os.environ.get("NSTEPS_NC", "10000"))
+    cull = os.environ.get("CULL", "1") == "1"
     system, x0 = t4_scale_binding_site_box(n_atoms=22340)
     lig = system.topology.select_resname("LIG")
     box = jnp.asarray(system.box, jnp.float32)
@@ -59,11 +60,14 @@ def main():
         fro = system.freeze_radius(np.asarray(x0), lig, 0.5)
     cx, cv = make_constraint_fns(fro.constraints, fro.masses)
     efn = make_energy_fn(fro, nonbonded_method="PME", cutoff=0.9,
-                         ewald_tolerance=0.005, nonbonded_backend="pallas")
+                         ewald_tolerance=0.005, nonbonded_backend="pallas",
+                         frozen_cull_skin=0.45 if cull else None)
     ffn = make_force_fn(efn)
     x = jax.jit(lambda x: minimize_fire(ffn, fro.masses, x, box, n_steps=400,
                 constrain_x=cx)[0])(jnp.asarray(x0, jnp.float32))
     jax.block_until_ready(x)
+    e0 = efn(x, box, None)
+    log(f"cull={cull}; post-minimize E = {float(e0):.1f}")
 
     lp = LangevinParams(dt=0.002, friction=1.0, temperature=300.0)
     schedule = build_ncmc_schedule(n_nc)
@@ -89,7 +93,11 @@ def main():
         out[f"work_{name}_kJmol"] = w
         out[f"step_{name}_ms"] = round(dt_ms, 4)
         log(f"{name}: W = {w:.4f} kJ/mol ({w/kT:.3f} kT), "
-            f"{dt_ms:.3f} ms/step, finite={np.isfinite(w)}")
+            f"{dt_ms:.3f} ms/step, finite={np.isfinite(w)}; "
+            f"mid_work={float(r.mid_work):.3f} "
+            f"e_final={float(r.e_final):.1f} "
+            f"x_finite={bool(jnp.all(jnp.isfinite(r.positions)))} "
+            f"maxdisp={float(jnp.max(jnp.linalg.norm(r.positions - x, axis=-1))):.3f}")
     out["dW_kT"] = abs(out["work_kahan_kJmol"] - out["work_naive_kJmol"]) / kT
     out["kT_kJmol"] = kT
     log(f"|W_kahan - W_naive| = {out['dW_kT']:.5f} kT")
