@@ -57,9 +57,31 @@ def load_inpcrd(path: str) -> AmberCoords:
         rest = rest[n3:]
     if rest.size >= 3:  # box lengths (+ angles)
         bl = rest[:3] * 0.1
-        box = np.diag(bl)
-        # non-orthorhombic angles unsupported for now
+        if rest.size >= 6 and np.abs(rest[3:6] - 90.0).max() > 1e-6:
+            # triclinic cell (e.g. Amber IFBOX=2 truncated octahedron):
+            # build the lower-triangular lattice from lengths + angles and
+            # reduce to OpenMM canonical form (potentials/triclinic.py)
+            box = box_from_lengths_angles(bl, rest[3:6])
+        else:
+            box = np.diag(bl)
     return AmberCoords(positions=pos, velocities=vel, box=box, title=title, time=t)
+
+
+def box_from_lengths_angles(lengths, angles_deg):
+    """(a, b, c) lengths + (alpha, beta, gamma) degrees -> reduced
+    lower-triangular (3, 3) box row vectors (crystallographic convention:
+    alpha = angle(b, c), beta = angle(a, c), gamma = angle(a, b))."""
+    a, b, c = (float(v) for v in lengths)
+    al, be, ga = (np.deg2rad(float(v)) for v in angles_deg)
+    va = np.array([a, 0.0, 0.0])
+    vb = np.array([b * np.cos(ga), b * np.sin(ga), 0.0])
+    cx = c * np.cos(be)
+    cy = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
+    cz = np.sqrt(max(c * c - cx * cx - cy * cy, 0.0))
+    vc = np.array([cx, cy, cz])
+    from ..potentials.triclinic import reduce_box_vectors
+
+    return reduce_box_vectors(np.stack([va, vb, vc]))
 
 
 def write_rst7(path: str, positions, velocities=None, box=None, title="blues_tpu restart", time=0.0):

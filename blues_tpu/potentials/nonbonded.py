@@ -202,6 +202,29 @@ def make_nonbonded_energy(
             f"unsupported alchemical_pme_treatment {alchemical_pme_treatment!r}; "
             "implemented: 'direct-space' (reference default), 'coulomb', 'exact'"
         )
+    # triclinic cells: the dense path (staircase minimum image + general-
+    # lattice PME, potentials/triclinic.py) supports them; the tiled/pallas/
+    # cells/verlet kernels assume an orthorhombic (diagonal) box
+    triclinic_box = False
+    if box_for_pme is not None:
+        from .triclinic import is_triclinic, reduce_box_vectors
+
+        triclinic_box = is_triclinic(box_for_pme)
+        if triclinic_box:
+            red = reduce_box_vectors(box_for_pme)
+            if not np.allclose(red, np.asarray(box_for_pme), atol=1e-9):
+                raise ValueError(
+                    "triclinic box must be in OpenMM reduced form; call "
+                    "potentials.triclinic.reduce_box_vectors first"
+                )
+            if backend == "auto":
+                backend = "dense"
+            elif backend != "dense":
+                raise ValueError(
+                    f"triclinic boxes require backend='dense' (got {backend!r}); "
+                    "the tiled/pallas/cells/verlet kernels assume an "
+                    "orthorhombic box"
+                )
     n = nb.charge.shape[0]
     if backend == "auto":
         if use_pallas:
@@ -331,7 +354,7 @@ def make_nonbonded_energy(
     if method == PME:
         from .pme import make_pme_reciprocal
 
-        recip_fn = make_pme_reciprocal(pme_params)
+        recip_fn = make_pme_reciprocal(pme_params, triclinic=triclinic_box)
     else:
         recip_fn = None
 

@@ -76,7 +76,9 @@ def _euler_b2(K: int, order: int) -> np.ndarray:
     return b2
 
 
-def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
+def make_pme_reciprocal(
+    params: PMEParams, base_grid=None, spread_subset=None, triclinic=False
+):
     """Build fn(positions, charges, box) -> reciprocal-space energy.
 
     base_grid/spread_subset: with frozen atoms (constant positions), their
@@ -84,7 +86,12 @@ def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
     ``spread_subset`` atoms are spread at runtime — the frozen charges
     contribute a constant to the grid, not the energy, so the full
     reciprocal sum (including frozen-frozen k-space coupling) stays exact.
-    Requires a fixed box (NVT)."""
+    Requires a fixed box (NVT).
+
+    triclinic: general-lattice mode — fractional coordinates via the full
+    box inverse and the influence function over |m @ H^-1|^2 reciprocal
+    vectors (potentials/triclinic.py). The orthorhombic fast path avoids
+    the 3x3 solves."""
     Kx, Ky, Kz = params.grid
     order = params.order
     alpha = params.alpha
@@ -131,7 +138,14 @@ def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
         if subset is not None:
             positions = positions[subset]
             charges = jnp.asarray(charges, dtype)[subset]
-        u = positions / blen * jnp.array([Kx, Ky, Kz], dtype)
+        if triclinic:
+            from .triclinic import fractional_coords
+
+            u = fractional_coords(positions, jnp.asarray(box, dtype)) * jnp.array(
+                [Kx, Ky, Kz], dtype
+            )
+        else:
+            u = positions / blen * jnp.array([Kx, Ky, Kz], dtype)
         q = jnp.asarray(charges, dtype)
         n = positions.shape[0]
         # chunk sized to the (possibly tiny mobile-subset) atom count: a
@@ -180,11 +194,21 @@ def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
         if Kz % 2 == 0:
             mult[-1] = 1.0
 
-        m2 = (
-            (jnp.asarray(mx, dtype)[:, None, None] / blen[0]) ** 2
-            + (jnp.asarray(my, dtype)[None, :, None] / blen[1]) ** 2
-            + (jnp.asarray(mz_h, dtype)[None, None, :] / blen[2]) ** 2
-        )
+        if triclinic:
+            from .triclinic import reciprocal_m2
+
+            m2 = reciprocal_m2(
+                jnp.asarray(mx, dtype),
+                jnp.asarray(my, dtype),
+                jnp.asarray(mz_h, dtype),
+                jnp.asarray(box, dtype),
+            )
+        else:
+            m2 = (
+                (jnp.asarray(mx, dtype)[:, None, None] / blen[0]) ** 2
+                + (jnp.asarray(my, dtype)[None, :, None] / blen[1]) ** 2
+                + (jnp.asarray(mz_h, dtype)[None, None, :] / blen[2]) ** 2
+            )
         b2 = (
             jnp.asarray(b2x, dtype)[:, None, None]
             * jnp.asarray(b2y, dtype)[None, :, None]
@@ -194,6 +218,8 @@ def make_pme_reciprocal(params: PMEParams, base_grid=None, spread_subset=None):
         influence = jnp.where(
             m2 > 0, jnp.exp(-pi2 * m2 / (alpha * alpha)) / jnp.maximum(m2, 1e-12), 0.0
         )
+        # det of a lower-triangular box = product of the diagonal, so this
+        # volume is exact for triclinic reduced boxes too
         vol = blen[0] * blen[1] * blen[2]
         e = jnp.sum(influence * b2 * s2) * (units.ONE_4PI_EPS0 / (2.0 * math.pi * vol))
         return e

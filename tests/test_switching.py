@@ -105,7 +105,7 @@ def test_unknown_alchemical_treatment_rejected():
     with pytest.raises(ValueError, match="alchemical_pme_treatment"):
         make_energy_fn(
             system, nonbonded_method="PME", cutoff=1.0,
-            alchemical_pme_treatment="coulomb",
+            alchemical_pme_treatment="bogus-treatment",
         )
 
 
