@@ -35,8 +35,11 @@ from .pairs import pair_energy_force
 from .tiled import PairFeatures
 
 #: scan chunk: cells processed per step (bounds the materialized block;
-#: 54 measured best on v5e at the 22k-atom 6x6x6 grid)
-CELL_CHUNK = 54
+#: 54 measured best on v5e at the 22k-atom 6x6x6 grid; env override for
+#: tuning sweeps)
+import os as _os
+
+CELL_CHUNK = int(_os.environ.get("BLUES_TPU_CELL_CHUNK", "54"))
 
 
 def _grid_shape(box_lengths, cutoff, shrink_margin=0.97):

@@ -36,7 +36,9 @@ import numpy as np
 from ..pairs import pair_energy_force
 from ..tiled import PairFeatures
 
-TILE = 256
+TILE = 256  # column (lane) tile
+TILE_R = 128  # row (sublane) tile: halves the padding waste for small
+# frozen-row counts (rows pad to 256 in PairFeatures, a multiple of 128)
 
 # feature-row indices (column array); F_CGID = global atom id of the column
 # (f32, exact for n < 2^24; -1 marks padded column slots)
@@ -57,7 +59,7 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
 
         # pairwise displacements per dimension, minimum image
         dxs = []
-        r2 = jnp.zeros((TILE, TILE), jnp.float32)
+        r2 = jnp.zeros((TILE_R, TILE), jnp.float32)
         for d in range(3):
             xi = xi_ref[d, :][:, None]
             xj = xj_ref[d, :][None, :]
@@ -114,7 +116,7 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
 
         @pl.when(j == 0)
         def _():
-            out_ref[:, :] = jnp.zeros((8, TILE), jnp.float32)
+            out_ref[:, :] = jnp.zeros((8, TILE_R), jnp.float32)
 
         for d in range(3):
             out_ref[d, :] += -jnp.sum(g * dxs[d], axis=1)
@@ -157,7 +159,7 @@ def make_pallas_pair_sum(
     nc = len(cols_np)
     ncpad = ((nc + TILE - 1) // TILE) * TILE
     n_col_tiles = ncpad // TILE
-    n_row_tiles = nr_pad // TILE
+    n_row_tiles = nr_pad // TILE_R
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -197,12 +199,12 @@ def make_pallas_pair_sum(
         grid=(n_row_tiles, n_col_tiles),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
     )
 
     flops_per_pair = 60
