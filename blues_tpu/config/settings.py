@@ -289,6 +289,16 @@ def create_simulation(config, move=None, n_replicas: int = 1):
         barostat_frequency=int(sim_cfg.get("barostatInterval", 25)),
         ncmc_frame_indices=tuple(sorted(frame_indices)) or None,
         n_replicas=n_replicas,
+        # TPU-native performance knobs (no reference analog): frozen-system
+        # pair-column culling and verlet-list rebuild cadence
+        frozen_cull_skin=(
+            None
+            if sim_cfg.get("frozen_cull_skin") is None
+            and "frozen_cull_skin" in sim_cfg
+            else float(sim_cfg.get("frozen_cull_skin", 0.45))
+        ),
+        nlist_rebuild_interval=int(sim_cfg.get("nlist_rebuild_interval", 10)),
+        nonbonded_backend=str(sim_cfg.get("nonbonded_backend", "auto")),
     )
     sim = BLUESSimulation(system, move, config_obj)
     if positions is not None:

@@ -286,3 +286,47 @@ def test_montecarlo_periodic_pme():
     stats = mc.stats_history[-1]
     assert np.isfinite(np.asarray(stats.delta_pe)).all()
     assert np.isfinite(np.asarray(stats.md_potential))
+
+
+def test_md_nan_rollback():
+    """A non-finite MD relaxation rolls the state back to the pre-MD point
+    (md_failed=True) instead of corrupting the run — the recoverable analog
+    of the reference's dump-frame-and-exit (blues/simulation.py:1203-1213).
+    Forced here with a catastrophically large timestep."""
+    import jax
+    import numpy as np
+
+    from blues_tpu.moves import MoveEngine, NullMove
+    from blues_tpu.simulation import BLUESSimulation, SimulationConfig
+    from blues_tpu.testsystems import charged_ethylene
+
+    system, x0 = charged_ethylene()
+    cfg = SimulationConfig(nIter=1, nstepsNC=4, nstepsMD=50, dt=2.5,
+                           temperature=200.0, moveStep=2)
+    sim = BLUESSimulation(system, MoveEngine(NullMove()), cfg)
+    sim.initialize(x0, key=jax.random.PRNGKey(0))
+    x_before = np.asarray(sim.state.positions)
+    stats, _, _ = sim.run_iteration()
+    assert bool(np.asarray(stats.md_failed))
+    x_after = np.asarray(sim.state.positions)
+    assert np.isfinite(x_after).all()
+    # rolled back to the post-accept/reject (== pre-MD) positions: with a
+    # NullMove 4-step NCMC either outcome keeps positions near x_before
+    assert np.abs(x_after - x_before).max() < 1.0
+
+
+def test_yaml_perf_knobs_plumb_through():
+    """frozen_cull_skin / nlist_rebuild_interval / nonbonded_backend ride
+    from YAML into SimulationConfig."""
+    from blues_tpu.config.settings import Settings
+
+    cfg = Settings({
+        "system": {"nonbondedMethod": "PME", "nonbondedCutoff": "9 * angstroms"},
+        "simulation": {"nstepsNC": 10, "frozen_cull_skin": None,
+                       "nlist_rebuild_interval": 25,
+                       "nonbonded_backend": "cells"},
+    }).asDict()
+    sim_cfg = cfg["simulation"]
+    assert sim_cfg["frozen_cull_skin"] is None
+    assert sim_cfg["nlist_rebuild_interval"] == 25
+    assert sim_cfg["nonbonded_backend"] == "cells"
