@@ -905,6 +905,15 @@ def _make_pair_backend_energy(
             else:
                 q_eff = jnp.asarray(q_std_np if alchemical is not None else charges, dtype)
             rf = recip_fn_frozen if recip_fn_frozen is not None else recip_fn
+            if recip_fn_frozen is not None:
+                # the frozen background grid was spread at the BUILD box; a
+                # changed box (NPT barostat) would silently corrupt the
+                # reciprocal sum — poison instead (driver rejects/rolls back)
+                box0_j = jnp.asarray(np.asarray(box_for_pme), dtype)
+                mismatch = jax.lax.stop_gradient(
+                    jnp.max(jnp.abs(box - box0_j)) > 1e-5
+                )
+                e_total = e_total + jnp.where(mismatch, jnp.nan, 0.0)
             e_total = e_total + rf(positions, q_eff, box)
             e_total = e_total - ke * alpha / math.sqrt(math.pi) * jnp.sum(q_eff * q_eff)
             vol = box[0, 0] * box[1, 1] * box[2, 2]

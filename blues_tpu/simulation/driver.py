@@ -215,6 +215,19 @@ class BLUESSimulation:
             self._md_nlist = (self.energy_md.nlist_build, md_nlist_step_factory)
 
         self._kT = units.kT(config.temperature)
+        if (
+            config.pressure is not None
+            and system.frozen_ref_positions is not None
+            and config.nonbonded_method == "PME"
+        ):
+            # the frozen-background PME grid assumes a fixed box; the
+            # reference likewise warns that NCMC has no pressure control
+            # (blues/simulation.py:784-785)
+            raise ValueError(
+                "pressure (NPT barostat) cannot be combined with frozen "
+                "atoms under PME: the frozen-background grid assumes a "
+                "fixed box"
+            )
         if config.pressure is not None:
             from ..integrators.barostat import make_barostat
 

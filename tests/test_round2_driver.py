@@ -330,3 +330,37 @@ def test_yaml_perf_knobs_plumb_through():
     assert sim_cfg["frozen_cull_skin"] is None
     assert sim_cfg["nlist_rebuild_interval"] == 25
     assert sim_cfg["nonbonded_backend"] == "cells"
+
+
+def test_npt_with_frozen_atoms_rejected():
+    """The frozen-background PME grid assumes a fixed box, so NPT + frozen
+    atoms must be rejected loudly, never silently mis-integrated."""
+    import warnings
+
+    import jax
+    import numpy as np
+    import pytest
+
+    from blues_tpu.core.amber_coords import load_inpcrd
+    from blues_tpu.core.prmtop import load_prmtop
+    from blues_tpu.core.system import AlchemicalRegion
+    from blues_tpu.moves import MoveEngine, NullMove
+    from blues_tpu.simulation import BLUESSimulation, SimulationConfig
+
+    DATA = "/root/reference/blues/tests/data"
+    import os
+
+    if not os.path.isdir(DATA):
+        pytest.skip("no reference data")
+    system = load_prmtop(f"{DATA}/TOL-parm.prmtop")
+    crd = load_inpcrd(f"{DATA}/TOL-parm.inpcrd")
+    system = system.replace(box=crd.box)
+    lig = system.topology.select_resname("LIG")
+    system = system.replace(alchemical=AlchemicalRegion(atoms=lig))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        frozen = system.freeze_radius(np.asarray(crd.positions), lig, 0.4)
+    cfg = SimulationConfig(nIter=1, nstepsNC=4, nstepsMD=4,
+                           nonbonded_method="PME", cutoff=0.6, pressure=1.0)
+    with pytest.raises(ValueError, match="frozen"):
+        BLUESSimulation(frozen, MoveEngine(NullMove()), cfg)
