@@ -410,7 +410,18 @@ def make_nonbonded_energy(
             scale_e = jnp.asarray(scale_elec_np)
             alch_pair = jnp.asarray(any_alch_pair_np)
             if method == PME:
-                f_alch = (1.0 / r) if alch_coulomb else (jax.lax.erfc(alpha * r) / r)
+                if alch_coulomb:
+                    # bare 1/r is O(1 kJ/mol) at the cutoff (unlike erfc) —
+                    # switch it to avoid truncation discontinuities leaking
+                    # into NCMC work (matches pairs.py alch_coulomb branch)
+                    f_alch = 1.0 / r
+                    if switch_distance is not None:
+                        from .pairs import lj_switch
+
+                        s_ac, _, _ = lj_switch(r2, cutoff, switch_distance)
+                        f_alch = s_ac * f_alch
+                else:
+                    f_alch = jax.lax.erfc(alpha * r) / r
             else:
                 f_alch = fr
             e_alch = ke * jnp.asarray(qq_raw, dtype) * f_alch
@@ -626,7 +637,11 @@ def _make_pair_backend_energy(
     #     region's build COM of radius r_alch + max(2*skin, 1.0) — rotations
     #     preserve |x - COM| and the margin covers diffusive COM drift of
     #     the decoupled ligand inside the frozen site cage.
-    #   * unanchored non-alchemical mobiles have no bound: culling disables.
+    #   * unanchored non-alchemical mobile components (e.g. free waters in
+    #     the mobile shell) get the same COM cage ball: center = the
+    #     component's build COM, radius = r_comp + frozen_cull_cage_margin
+    #     (the frozen site cages the fragment; the margin covers its
+    #     diffusive drift, and the runtime guard below catches escape).
     # A runtime guard poisons the energy to NaN when a ball is violated
     # (driver NaN -> reject/rollback, SURVEY.md 5.2), so culling is never
     # silently wrong. Teleporting moves (water hop, darting) have no bound —

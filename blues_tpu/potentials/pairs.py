@@ -154,6 +154,14 @@ def pair_energy_force(
         qq_alch = f_na * qq_na + f_aa * qq_aa
         e_el, g_el = coulomb_erfc(r2, qq_std, alpha_ewald)
         e_a, g_a = coulomb_plain(r2, qq_alch)
+        if switch_distance is not None:
+            # unlike erfc (negligible at the cutoff by construction), bare
+            # 1/r is O(1 kJ/mol) at the cutoff — hard truncation would leak
+            # energy/force discontinuities into the NCMC work stream, so the
+            # 'coulomb' treatment's alchemical pairs are switched like LJ
+            s, ds_dr, inv_r = lj_switch(r2, cutoff, switch_distance)
+            g_a = s * g_a + ds_dr * e_a * inv_r
+            e_a = s * e_a
         e_el, g_el = e_el + e_a, g_el + g_a
         return e_lj + e_el, g_lj + g_el
     qq = qq_std + f_na * qq_na + f_aa * qq_aa

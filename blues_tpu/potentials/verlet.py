@@ -279,7 +279,13 @@ def make_verlet_pair_sum(
             chunk, jnp.zeros((), dtype), jnp.arange(n_chunks) * ROW_CHUNK
         )
         f = f_chunks.reshape(npad_rows, 3)[:n]
-        e_total = e_total + jnp.where(invalid, jnp.nan, 0.0)
+        # poison BOTH outputs: the driver's amortized MD path consumes only
+        # forces (energies are discarded per-step), so a clean-force return
+        # on a stale/overflowed list would be silently wrong physics — NaN
+        # forces propagate into positions and trip the MD rollback instead
+        poison = jnp.where(invalid, jnp.nan, 0.0)
+        e_total = e_total + poison
+        f = f + poison
         return e_total, f
 
     def _pass(x, box, lam_s, f_na, f_aa):

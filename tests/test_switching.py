@@ -86,6 +86,60 @@ def test_switch_force_matches_fd():
         assert float(f[1, 0]) == pytest.approx(fd, rel=2e-2, abs=1e-3)
 
 
+def test_alch_coulomb_treatment_switched():
+    """The 'coulomb' alchemical PME treatment's bare-1/r alchemical pairs
+    must be switched when switch_distance is set: unlike erfc (negligible
+    at the cutoff by construction), 1/r is O(1 kJ/mol) there, and hard
+    truncation would leak discontinuities into the NCMC work stream."""
+    from blues_tpu.core.system import AlchemicalRegion
+    from blues_tpu.potentials import pairs
+
+    rc, rs = 1.0, 0.8
+    # formula level: switched alch-coulomb term -> 0 at the cutoff and its
+    # radial force factor matches finite differences inside the window
+    def at(r, sw):
+        return pairs.pair_energy_force(
+            jnp.asarray(r * r), 0.3, 0.0, 0.0, 0.7, 0.0,
+            jnp.asarray(False),
+            lam_sterics=1.0, f_na=1.0, f_aa=1.0, method="PME",
+            alpha_ewald=3.2, switch_distance=(rs if sw else None),
+            cutoff=rc, alch_coulomb=True,
+        )
+
+    e_c, _ = at(0.9999, True)
+    e_raw, _ = at(0.9999, False)
+    assert abs(float(e_c)) < 1e-4 < abs(float(e_raw))
+    for r in (0.6, 0.85, 0.95):
+        e, g = at(r, True)
+        h = 1e-4
+        fd = (float(at(r + h, True)[0]) - float(at(r - h, True)[0])) / (2 * h) / r
+        assert float(g) == pytest.approx(fd, rel=2e-3, abs=1e-4)
+
+    # system level: dense and tiled agree with the switch + 'coulomb'
+    # treatment at intermediate lambda (covers both new code paths)
+    import dataclasses
+
+    system = _two_atom_system()
+    nb = dataclasses.replace(system.nonbonded, charge=np.array([0.4, -0.4]))
+    system = system.replace(
+        nonbonded=nb,
+        alchemical=AlchemicalRegion(atoms=np.array([0], np.int32)),
+    )
+    box = jnp.eye(3) * 4.0
+    lam = {"lambda_sterics": 0.7, "lambda_electrostatics": 0.4}
+    kw = dict(
+        nonbonded_method="PME", cutoff=rc, switch_distance=rs,
+        alchemical_pme_treatment="coulomb", dispersion_correction=False,
+    )
+    e_d = make_energy_fn(system, nonbonded_backend="dense", **kw)
+    e_t = make_energy_fn(system, nonbonded_backend="tiled", **kw)
+    for r in (0.5, 0.9, 0.97):
+        x = jnp.asarray([[0.0, 0.0, 0.0], [r, 0.0, 0.0]], jnp.float32)
+        assert float(e_d(x, box, lam)) == pytest.approx(
+            float(e_t(x, box, lam)), rel=1e-5, abs=1e-6
+        )
+
+
 def test_switch_distance_validated():
     system = _two_atom_system()
     with pytest.raises(ValueError, match="switch_distance"):

@@ -70,10 +70,14 @@ def test_verlet_build_apply_reuse(water_tol_system):
         assert float(jnp.max(jnp.abs(f_nl - f_t))) / (
             float(jnp.max(jnp.abs(f_t))) + 1.0
         ) < 1e-10
-        # past skin/2 the list is stale -> poisoned, never silently wrong
+        # past skin/2 the list is stale -> poisoned, never silently wrong.
+        # BOTH outputs must poison: the driver's amortized MD path consumes
+        # only forces, so clean forces on a stale list would be silently
+        # wrong physics that never trips the rollback.
         x3 = x64.at[0].add(jnp.asarray([skin, 0.0, 0.0]))
-        e_stale, _ = efn_v.force_with_nlist(nlist, x3, box, None)
+        e_stale, f_stale = efn_v.force_with_nlist(nlist, x3, box, None)
         assert not np.isfinite(float(e_stale))
+        assert not np.all(np.isfinite(np.asarray(f_stale)))
 
 
 def test_verlet_frozen_fallback(water_tol_system):
