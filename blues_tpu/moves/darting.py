@@ -123,22 +123,90 @@ class SmartDartMove(Move):
 
 
 class MolDartMove(Move):
-    """Per-atom pose darting (reference posedart.py:114-262 algorithm)."""
+    """Per-atom pose darting (reference posedart.py:114-262 algorithm).
+
+    With ``fit_atoms`` set, the stored poses are SUPERPOSED onto the
+    current receptor frame before the RMSD test and the dart jump — the
+    reference aligns each stored binding-mode trajectory onto the current
+    frame with mdtraj's Theobald-QCP superpose (posedart.py:145-146), so
+    pose detection keeps firing when the receptor rotates or drifts.
+    Without fit_atoms the poses are lab-frame (rigidly frozen receptors
+    only). The superposition transform depends only on receptor
+    coordinates, which the move never touches, so the pose jump remains an
+    exact bijection between basins (detailed balance is preserved).
+    """
 
     teleports = True
 
-    def __init__(self, ligand_atoms, poses, dart_radius: float = 0.1):
-        """poses: (P, L, 3) stored ligand-pose coordinates (lab frame)."""
+    def __init__(
+        self,
+        ligand_atoms,
+        poses,
+        dart_radius: float = 0.1,
+        fit_atoms=None,
+        fit_reference=None,
+    ):
+        """poses: (P, L, 3) stored ligand-pose coordinates.
+        fit_atoms: receptor atom indices used for the superposition.
+        fit_reference: (P, F, 3) receptor coordinates from each pose's
+        snapshot (same frame as the stored pose), required with fit_atoms.
+        """
         self.ligand_atoms = np.asarray(ligand_atoms, np.int32)
         self.poses = np.asarray(poses, np.float64)
         if self.poses.ndim != 3 or self.poses.shape[0] < 2:
             raise ValueError("need at least two poses (P, L, 3)")
         self.dart_radius = float(dart_radius)
+        if (fit_atoms is None) != (fit_reference is None):
+            raise ValueError("fit_atoms and fit_reference go together")
+        self.fit_atoms = None if fit_atoms is None else np.asarray(fit_atoms, np.int32)
+        self.fit_reference = (
+            None if fit_reference is None else np.asarray(fit_reference, np.float64)
+        )
+        if self.fit_reference is not None and self.fit_reference.shape[:2] != (
+            self.poses.shape[0],
+            len(self.fit_atoms),
+        ):
+            raise ValueError(
+                "fit_reference must be (P, F, 3) matching poses and fit_atoms"
+            )
+
+    @classmethod
+    def from_coordinates(
+        cls, ligand_atoms, coordinate_sets, dart_radius=0.1, fit_atoms=None
+    ):
+        """Build poses from full-coordinate binding-mode snapshots (the
+        reference loads pose trajectories, posedart.py:114-144)."""
+        ligand_atoms = np.asarray(ligand_atoms, np.int64)
+        coords = [np.asarray(c) for c in coordinate_sets]
+        poses = np.stack([c[ligand_atoms] for c in coords])
+        if fit_atoms is None:
+            return cls(ligand_atoms, poses, dart_radius)
+        fit = np.asarray(fit_atoms, np.int64)
+        ref = np.stack([c[fit] for c in coords])
+        return cls(ligand_atoms, poses, dart_radius, fit_atoms=fit, fit_reference=ref)
+
+    def _aligned_poses(self, x):
+        """Poses mapped into the CURRENT receptor frame: for each pose p,
+        the rigid transform superposing its stored receptor snapshot onto
+        x[fit_atoms] is applied to the stored ligand pose."""
+        poses = jnp.asarray(self.poses, x.dtype)
+        if self.fit_atoms is None:
+            return poses
+        from ..potentials.geometry import kabsch_align
+
+        cur_fit = x[jnp.asarray(self.fit_atoms)]  # (F, 3)
+        refs = jnp.asarray(self.fit_reference, x.dtype)  # (P, F, 3)
+
+        def align_one(ref_p, pose_p):
+            R, com_ref, com_cur = kabsch_align(ref_p, cur_fit)
+            return (pose_p - com_ref) @ R.T + com_cur
+
+        return jax.vmap(align_one)(refs, poses)
 
     def propose(self, key, x, box, aux):
         lig = jnp.asarray(self.ligand_atoms)
         cur = x[lig]  # (L, 3)
-        poses = jnp.asarray(self.poses, x.dtype)
+        poses = self._aligned_poses(x)  # (P, L, 3) in the current frame
         rmsd = jnp.sqrt(jnp.mean(jnp.sum((poses - cur[None]) ** 2, -1), -1))  # (P,)
         inside = rmsd < self.dart_radius
         in_any = jnp.any(inside)

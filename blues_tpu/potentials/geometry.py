@@ -97,6 +97,39 @@ def axis_angle_rotation_matrix(axis, theta):
     )
 
 
+def kabsch_align(P, Q, weights=None):
+    """Optimal rigid superposition of point set P onto Q (least squares).
+
+    Returns (R, com_P, com_Q) such that ``(P - com_P) @ R.T + com_Q`` is
+    the aligned copy of P. Kabsch algorithm via 3x3 SVD with the
+    determinant correction (proper rotation, no reflection) — the JAX
+    equivalent of mdtraj's Theobald-QCP ``superpose`` C kernel the
+    reference uses for pose darting (blues/posedart.py:145-146; SURVEY.md
+    2.3 mdtraj-kernel row). Jittable and differentiable.
+    """
+    if weights is None:
+        w = jnp.full(P.shape[0], 1.0 / P.shape[0], P.dtype)
+    else:
+        w = jnp.asarray(weights, P.dtype)
+        w = w / jnp.sum(w)
+    com_P = jnp.sum(P * w[:, None], axis=0)
+    com_Q = jnp.sum(Q * w[:, None], axis=0)
+    Pc = P - com_P
+    Qc = Q - com_Q
+    H = Pc.T @ (Qc * w[:, None])  # (3, 3) weighted covariance
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], P.dtype).at[2].set(d))
+    R = Vt.T @ D @ U.T
+    return R, com_P, com_Q
+
+
+def superpose(P, Q, weights=None):
+    """P rigidly superposed onto Q: ``(P - com_P) @ R.T + com_Q``."""
+    R, com_P, com_Q = kabsch_align(P, Q, weights)
+    return (P - com_P) @ R.T + com_Q
+
+
 def random_sphere_point(key, radius, dtype=jnp.float32):
     """Uniform random point inside a sphere of ``radius`` (reference:
     blues/moves.py:898-918 _random_sphere_point)."""

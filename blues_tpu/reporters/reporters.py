@@ -40,6 +40,48 @@ from .logger import REPORT_LEVEL, add_report_level
 logger = logging.getLogger("blues_tpu.reporters")
 
 
+def box_to_lengths_angles(box):
+    """(3,3) box-vector rows -> (lengths_nm (3,), angles_deg (3,)).
+
+    Real cell geometry for trajectory metadata — a triclinic run must not
+    write 90/90/90 (reference writes true lengths+angles,
+    blues/formats.py:640-691). Angles follow the crystallographic
+    convention: alpha = angle(b, c), beta = angle(a, c), gamma = angle(a, b).
+    """
+    box = np.asarray(box, np.float64)
+    a, b, c = box[0], box[1], box[2]
+    la, lb, lc = (np.linalg.norm(v) for v in (a, b, c))
+
+    def ang(u, v, lu, lv):
+        return float(np.degrees(np.arccos(np.clip(np.dot(u, v) / (lu * lv), -1.0, 1.0))))
+
+    return (
+        np.array([la, lb, lc]),
+        np.array([ang(b, c, lb, lc), ang(a, c, la, lc), ang(a, b, la, lb)]),
+    )
+
+
+def _environment_provenance():
+    """Host-environment capture for trajectory provenance (the reference
+    dumps the conda environment into HDF5 attrs, blues/formats.py:384-473;
+    no conda here, so record the interpreter + core package versions)."""
+    import platform
+    import sys as _sys
+
+    env = {
+        "python": _sys.version,
+        "platform": platform.platform(),
+    }
+    for mod in ("jax", "jaxlib", "numpy", "scipy", "h5py"):
+        try:
+            import importlib.metadata as md
+
+            env[mod] = md.version(mod)
+        except Exception:
+            pass
+    return env
+
+
 def _iters_interval(report_interval: int, steps_per_iter: int) -> int:
     """Reference reportIntervals are in integrator steps
     (e.g. examples/rotmove_cuda.yml: reportInterval 2500 with nstepsMD
@@ -96,6 +138,28 @@ def _ncmc_frame_data(sim, ncmc_frames):
     return pos, work, lams
 
 
+def _kinetic_and_temperature(sim):
+    """(KE kJ/mol, T Kelvin) from the live state velocities; replica
+    batches average. 1 Da (nm/ps)^2 = 1 kJ/mol exactly. dof counts moving
+    atoms minus constraints (OpenMM StateDataReporter convention)."""
+    m = np.asarray(sim.system.masses)
+    v = np.asarray(sim.state.velocities)
+    ke = 0.5 * np.sum(m * np.sum(v * v, axis=-1), axis=-1)  # per replica
+    ke = float(np.mean(ke))
+    n_constraints = len(sim.system.constraints) if sim.system.constraints is not None else 0
+    dof = max(3 * int((m > 0).sum()) - n_constraints, 1)
+    kB = units.BOLTZMANN_KJMOL  # kJ/mol/K
+    return ke, 2.0 * ke / (dof * kB)
+
+
+def _box_volume_nm3(sim) -> float:
+    box = np.asarray(sim.state.box)
+    if box.ndim == 3:
+        box = box[0]
+    # triclinic reduced boxes are lower-triangular: det = diagonal product
+    return float(abs(np.linalg.det(box)))
+
+
 class StateDataReporter(BaseReporter):
     def __init__(
         self,
@@ -110,7 +174,11 @@ class StateDataReporter(BaseReporter):
         protocolWork: bool = False,
         alchemicalLambda: bool = False,
         potentialEnergy: bool = True,
+        kineticEnergy: bool = False,
+        totalEnergy: bool = False,
         temperature: bool = False,
+        volume: bool = False,
+        density: bool = False,
         log: logging.Logger | None = None,
         source: str = "md",
     ):
@@ -123,7 +191,8 @@ class StateDataReporter(BaseReporter):
             step=step, speed=speed, progress=progress, remainingTime=remainingTime,
             currentIter=currentIter, protocolWork=protocolWork,
             alchemicalLambda=alchemicalLambda, potentialEnergy=potentialEnergy,
-            temperature=temperature,
+            kineticEnergy=kineticEnergy, totalEnergy=totalEnergy,
+            temperature=temperature, volume=volume, density=density,
         )
         self.log = log or logger
         self._t0 = None
@@ -149,9 +218,28 @@ class StateDataReporter(BaseReporter):
             cols.append(f"iter={iteration + 1}")
         if self.flags["step"]:
             cols.append(f"steps={self._steps_done}")
+        pe = float(np.mean(np.asarray(stats.md_potential)))
         if self.flags["potentialEnergy"]:
-            pe = float(np.mean(np.asarray(stats.md_potential)))
             cols.append(f"PE={pe:.2f} kJ/mol")
+        # KE / temperature / totalEnergy from the live velocities (the
+        # reference streams these from the OpenMM State,
+        # blues/reporters.py:602-728); replica batches report the mean
+        if self.flags["kineticEnergy"] or self.flags["temperature"] or self.flags["totalEnergy"]:
+            ke, temp = _kinetic_and_temperature(sim)
+            if self.flags["kineticEnergy"]:
+                cols.append(f"KE={ke:.2f} kJ/mol")
+            if self.flags["totalEnergy"]:
+                cols.append(f"E={pe + ke:.2f} kJ/mol")
+            if self.flags["temperature"]:
+                cols.append(f"T={temp:.2f} K")
+        if self.flags["volume"] or self.flags["density"]:
+            vol = _box_volume_nm3(sim)
+            if self.flags["volume"]:
+                cols.append(f"V={vol:.3f} nm^3")
+            if self.flags["density"]:
+                # Da / nm^3 -> g/mL (1 Da/nm^3 = 1/602.214 g/mL)
+                rho = float(np.sum(np.asarray(sim.system.masses))) / vol / 602.2140857
+                cols.append(f"rho={rho:.4f} g/mL")
         if self.flags["protocolWork"]:
             w = float(np.mean(np.asarray(stats.protocol_work))) / units.kT(
                 sim.cfg.temperature
@@ -245,13 +333,14 @@ class NetCDFReporter(BaseReporter):
             box = box[0]
         if self._nc is None:
             self._init(frames.shape[1], box)
+        lengths, angles = box_to_lengths_angles(box)
         for k, fr in enumerate(frames):
             i = self._frame
             self._nc.variables["coordinates"][i] = fr * 10.0
             self._nc.variables["time"][i] = float(i)
             if "cell_lengths" in self._nc.variables:
-                self._nc.variables["cell_lengths"][i] = np.diagonal(box) * 10.0
-                self._nc.variables["cell_angles"][i] = [90.0, 90.0, 90.0]
+                self._nc.variables["cell_lengths"][i] = lengths * 10.0
+                self._nc.variables["cell_angles"][i] = angles
             if self.protocolWork:
                 self._nc.variables["protocolWork"][i] = float(works[k]) if works is not None else 0.0
             if self.alchemicalLambda:
@@ -292,6 +381,7 @@ class HDF5Reporter(BaseReporter):
         h5.attrs["conventionVersion"] = "1.1"
         h5.attrs["program"] = "blues_tpu"
         h5.attrs["programVersion"] = "0.1.0"
+        h5.attrs["environment"] = json.dumps(_environment_provenance())
         if self.parameters is not None:
             h5.attrs["parameters"] = json.dumps(self.parameters, default=str)
         h5.create_dataset(
@@ -332,12 +422,13 @@ class HDF5Reporter(BaseReporter):
             if name in self._h5:
                 ds = self._h5[name]
                 ds.resize(self._frame + n_new, axis=0)
+        lengths, angles = box_to_lengths_angles(box)
         for k, fr in enumerate(frames):
             i = self._frame
             self._h5["coordinates"][i] = fr
             self._h5["time"][i] = float(i)
-            self._h5["cell_lengths"][i] = np.diagonal(box)
-            self._h5["cell_angles"][i] = [90.0, 90.0, 90.0]
+            self._h5["cell_lengths"][i] = lengths
+            self._h5["cell_angles"][i] = angles
             if self.protocolWork:
                 self._h5["protocolWork"][i] = float(works[k]) if works is not None else 0.0
             if self.alchemicalLambda:

@@ -1,0 +1,143 @@
+"""Golden parity of the ALCHEMICAL softcore path vs the independent oracle.
+
+The acceptance-critical formula — openmmtools softcore LJ + scaled
+electrostatics at intermediate lambda, 'direct-space' PME treatment with the
+exact reference defaults (alpha=0.5, a=b=1, c=6, beta=0,
+annihilate_electrostatics=True, annihilate_sterics=False; reference
+blues/simulation.py:260-317) — pinned for ALL FIVE nonbonded backends
+against tools/golden_oracle.py's from-scratch f64 implementation (its own
+parser, LJ from ACOEF/BCOEF pair tables instead of per-atom
+Lorentz-Berthelot, brute-force Ewald). A softcore bug shared by every
+backend would pass all internal agreement tests but fail here.
+
+Fixture: tests/data/golden_softcore.json (regenerate with
+`python tools/golden_oracle.py softcore`). lambda points follow the
+reference's default master schedule at master lam in {0, 0.1, 0.25, 0.5}
+plus one generic off-schedule point.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/blues/tests/data"
+HERE = os.path.dirname(__file__)
+FIXTURE = os.path.join(HERE, "data", "golden_softcore.json")
+POSITIONS = os.path.join(HERE, "data", "golden_parity_positions.npz")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(DATA) and os.path.exists(FIXTURE) and os.path.exists(POSITIONS)),
+    reason="reference data or softcore golden fixtures not available",
+)
+
+REL_TOL = 1e-4
+
+# per-system backend eligibility: cells/verlet need a >=3 cell grid at the
+# cutoff (TOL-parm's 21.8 A box is too small at 9 A and would silently
+# fall back to tiled — not a distinct pin)
+BACKENDS = {
+    "TOL-parm": ["dense", "tiled", "pallas"],
+    "watDivaline": ["dense", "tiled", "pallas", "cells", "verlet"],
+}
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    with open(FIXTURE) as f:
+        fx = json.load(f)
+    pos = np.load(POSITIONS)
+    return fx, pos
+
+
+def _build(name, fx, pos, backend):
+    from blues_tpu.core.prmtop import load_prmtop
+    from blues_tpu.core.system import AlchemicalRegion
+    from blues_tpu.potentials.energy import make_energy_fn
+
+    spec = fx["systems"][name]
+    system = load_prmtop(f"{DATA}/{name}.prmtop", constraints="None")
+    box = np.diag(np.asarray(spec["box_ang"]) / 10.0)
+    system = system.replace(
+        box=box,
+        alchemical=AlchemicalRegion(
+            atoms=np.asarray(spec["alch_atoms"], np.int32)
+        ),
+    )
+    efn = make_energy_fn(
+        system,
+        nonbonded_method="PME",
+        cutoff=spec["cutoff_nm"],
+        ewald_tolerance=fx["ewald_tol"],
+        alchemical_pme_treatment="direct-space",
+        nonbonded_backend=backend,
+        dispersion_correction=False,
+    )
+    x = np.asarray(pos[name], np.float64)
+    return efn, x, box, spec
+
+
+def _params():
+    out = []
+    for name, backends in BACKENDS.items():
+        for b in backends:
+            out.append((name, b))
+    return out
+
+
+@pytest.mark.parametrize("name,backend", _params())
+def test_softcore_energy_parity_all_lambdas(name, backend, fixtures):
+    import jax
+
+    fx, pos = fixtures
+    with jax.enable_x64(True):
+        efn, x, box, spec = _build(name, fx, pos, backend)
+        for pt in spec["points"]:
+            lam = {
+                "lambda_sterics": pt["sterics"],
+                "lambda_electrostatics": pt["electrostatics"],
+            }
+            e = float(efn(x, box, lam))
+            golden = pt["groups_kj"]["total"]
+            assert abs(e - golden) / max(abs(golden), 1.0) < REL_TOL, (
+                name, backend, pt["master"], e, golden,
+            )
+
+
+@pytest.mark.parametrize("name,backend", _params())
+def test_softcore_force_parity_intermediate_lambda(name, backend, fixtures):
+    """Directional force parity at the two fully intermediate lambda points
+    (master 0.25 and the generic off-schedule point) — the configurations
+    where a softcore-derivative bug would shift every acceptance rate."""
+    import jax
+
+    from blues_tpu.potentials.energy import make_force_fn
+
+    fx, pos = fixtures
+    fd = fx["fd"]
+    with jax.enable_x64(True):
+        efn, x, box, spec = _build(name, fx, pos, backend)
+        ffn = make_force_fn(efn)
+        rng = np.random.default_rng(fd["seed"])
+        dirs = rng.standard_normal((fd["ndir"], x.shape[0], 3))
+        dirs /= np.linalg.norm(dirs.reshape(fd["ndir"], -1), axis=1)[:, None, None]
+        for pt in spec["points"]:
+            if pt["sterics"] in (0.0, 1.0) and pt["electrostatics"] in (0.0, 1.0):
+                continue
+            lam = {
+                "lambda_sterics": pt["sterics"],
+                "lambda_electrostatics": pt["electrostatics"],
+            }
+            _, force = ffn(x, box, lam)
+            force = np.asarray(force)
+            golden_list = pt["directional_dE_kj_per_nm"]
+            scale = max(
+                float(np.abs(golden_list).max()) if len(golden_list) else 0.0,
+                float(np.linalg.norm(force) / np.sqrt(force.size)),
+            )
+            for d, golden in zip(dirs, golden_list):
+                proj = -float(np.sum(force * d))
+                assert abs(proj - golden) / max(abs(golden), scale) < REL_TOL, (
+                    name, backend, pt["master"], proj, golden,
+                )

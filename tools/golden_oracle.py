@@ -302,15 +302,17 @@ class AmberOracle:
             e_q += fee * KE_KCAL_A * self.q[i] * self.q[j] / r
         return {"lj14": e_lj, "coulomb14": e_q}
 
-    def ewald(self, x_ang, box_ang, alpha_ang, kspace_tol=1e-10):
+    def ewald(self, x_ang, box_ang, alpha_ang, kspace_tol=1e-10, q=None):
         """Reciprocal + self + exclusion-correction + plasma terms of the
         Ewald sum (kcal/mol). Brute-force structure factors in f64,
-        chunked over k-vectors to bound memory."""
+        chunked over k-vectors to bound memory. ``q`` overrides the charge
+        vector (the alchemical 'direct-space' treatment removes alchemical
+        charges from every reciprocal-space term)."""
         from scipy.special import erf
 
         L = np.asarray(box_ang, np.float64)
         vol = float(np.prod(L))
-        q = self.q
+        q = self.q if q is None else np.asarray(q, np.float64)
         # k-space: keep vectors with exp(-k^2/4a^2)/k^2 above tolerance
         kmax = int(
             math.ceil(
@@ -354,6 +356,126 @@ class AmberOracle:
             "plasma": e_plasma,
             "excl_corr": e_corr,
         }
+
+    def residue_atoms(self, label):
+        """0-based atom indices of every residue named ``label``, from
+        RESIDUE_LABEL / RESIDUE_POINTER (independent of blues_tpu's
+        topology selection machinery)."""
+        labels = self.s["RESIDUE_LABEL"]
+        ptr = self.s["RESIDUE_POINTER"].astype(np.int64) - 1
+        ends = np.append(ptr[1:], self.n)
+        out = []
+        for i, lab in enumerate(labels):
+            if lab == label:
+                out.extend(range(int(ptr[i]), int(ends[i])))
+        return np.asarray(out, np.int64)
+
+    def total_alchemical(
+        self,
+        x_ang,
+        box_ang,
+        rc_ang,
+        alch_atoms,
+        lam_sterics,
+        lam_electrostatics,
+        ewald_tol=1e-6,
+        pairs=None,
+        annihilate_electrostatics=True,
+        annihilate_sterics=False,
+        softcore_alpha=0.5,
+        softcore_a=1.0,
+        softcore_b=1.0,
+    ):
+        """All groups (kcal/mol) of the openmmtools-style alchemically
+        modified periodic potential, 'direct-space' PME treatment, exact
+        reference defaults (softcore alpha=0.5, a=b=1, c=6, beta=0 i.e.
+        linear electrostatic scaling, annihilate_electrostatics=True,
+        annihilate_sterics=False; reference blues/simulation.py:225-317,
+        softcore form of Pham & Shirts Eq. 13):
+
+          * sterics: NA pairs (and AA if annihilate_sterics) use
+            U = 4 eps lam^a [ (s6/(alpha (1-lam)^b s6 + r^6))^2
+                              - s6/(alpha (1-lam)^b s6 + r^6) ]
+            with s6/eps derived from the tabulated ACOEF/BCOEF pair
+            coefficients (s6 = A/B, eps = B^2/4A — NOT blues_tpu's
+            per-atom Lorentz-Berthelot path); other pairs plain LJ.
+          * electrostatics: alchemical atoms' charges are REMOVED from the
+            standard path (direct erfc, reciprocal, self, plasma, exclusion
+            corrections all use q_std); alchemical pairs instead get a
+            direct-space erfc term with raw charges, linearly scaled by
+            lam_electrostatics on NA pairs (and AA if annihilating).
+          * 1-4 exceptions: softcore LJ / lam_e-scaled bare Coulomb under
+            the same pair-class rules, per-dihedral SCEE/SCNB factors.
+        """
+        lam_s = float(lam_sterics)
+        lam_e = float(lam_electrostatics)
+        alch = np.zeros(self.n, bool)
+        alch[np.asarray(alch_atoms, np.int64)] = True
+        groups = self.bonded(x_ang)
+        alpha = math.sqrt(-math.log(2.0 * ewald_tol)) / rc_ang
+
+        if pairs is None:
+            pairs = self.pair_selection(x_ang, box_ang, rc_ang)
+        i, j = pairs
+        r = self._pair_r(x_ang, box_ang, pairs)
+        ai, aj = alch[i], alch[j]
+        na = ai ^ aj
+        aa = ai & aj
+        any_alch = na | aa
+        scale_s = na | (aa & annihilate_sterics)
+        scale_e = na | (aa & annihilate_electrostatics)
+
+        # sterics from the pair coefficient tables
+        ti, tj = self.type_idx[i], self.type_idx[j]
+        k = self.nb_idx[self.ntypes * ti + tj] - 1
+        a_c, b_c = self.acoef[k], self.bcoef[k]
+        r6 = r**6
+        e_plain = a_c / (r6 * r6) - b_c / r6
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sig6 = np.where(b_c > 0, a_c / np.maximum(b_c, 1e-300), 0.0)
+            eps = np.where(a_c > 0, b_c * b_c / np.maximum(4.0 * a_c, 1e-300), 0.0)
+        reff6 = softcore_alpha * (1.0 - lam_s) ** softcore_b * sig6 + r6
+        xq = sig6 / reff6
+        e_soft = 4.0 * eps * lam_s**softcore_a * (xq * xq - xq)
+        groups["lj"] = float(np.sum(np.where(scale_s, e_soft, e_plain)))
+
+        # direct-space electrostatics
+        from scipy.special import erfc
+
+        q_std = np.where(alch, 0.0, self.q)
+        erfc_r = erfc(alpha * r) / r
+        e_std = q_std[i] * q_std[j] * erfc_r  # zero on alchemical pairs
+        fac = np.where(scale_e, lam_e, 1.0)
+        e_alch = np.where(any_alch, fac * self.q[i] * self.q[j] * erfc_r, 0.0)
+        groups["coulomb"] = float(KE_KCAL_A * np.sum(e_std + e_alch))
+
+        # 1-4 exceptions under the same lambda rules
+        e_lj14 = e_q14 = 0.0
+        for (p, l), (fee, fnb) in self.p14.items():
+            d = x_ang[p] - x_ang[l]
+            if box_ang is not None:
+                d -= box_ang * np.round(d / box_ang)
+            rr = float(np.linalg.norm(d))
+            a14, b14 = self._ab(self.type_idx[p], self.type_idx[l])
+            pna = alch[p] ^ alch[l]
+            paa = alch[p] & alch[l]
+            if pna or (paa and annihilate_sterics):
+                s6 = a14 / b14 if b14 > 0 else 0.0
+                ep = b14 * b14 / (4.0 * a14) if a14 > 0 else 0.0
+                re6 = softcore_alpha * (1.0 - lam_s) ** softcore_b * s6 + rr**6
+                xx = s6 / re6
+                e_lj14 += fnb * 4.0 * ep * lam_s**softcore_a * (xx * xx - xx)
+            else:
+                e_lj14 += fnb * (a14 / rr**12 - b14 / rr**6)
+            fe = lam_e if (pna or (paa and annihilate_electrostatics)) else 1.0
+            e_q14 += fee * fe * KE_KCAL_A * self.q[p] * self.q[l] / rr
+        groups["lj14"] = e_lj14
+        groups["coulomb14"] = e_q14
+
+        # every reciprocal-space term sees q_std only
+        groups.update(self.ewald(x_ang, box_ang, alpha, q=q_std))
+        groups["total"] = float(sum(groups.values()))
+        return groups
 
     def total(self, x_ang, box_ang=None, rc_ang=None, ewald_tol=1e-6, pairs=None):
         """All groups (kcal/mol). Periodic systems use the full Ewald sum
@@ -456,5 +578,125 @@ def main(out_path):
     print(f"wrote {out_path}", file=sys.stderr)
 
 
+# --- alchemical softcore fixtures --------------------------------------------
+#
+# The acceptance-critical formula: openmmtools softcore LJ + scaled
+# electrostatics at intermediate lambda, 'direct-space' treatment
+# (reference blues/simulation.py:260-317). lambda points follow the
+# reference's default master schedule (blues/simulation.py:654-660):
+#   lambda_sterics        = min(1, (1/0.3) |lam - 0.5|)
+#   lambda_electrostatics = step(0.2-lam) - (1/0.2) lam step(0.2-lam)
+#                           + (1/0.2)(lam-0.8) step(lam-0.8)
+# evaluated at master lam in {0, 0.1, 0.25, 0.5}, plus one off-schedule
+# generic point (0.5, 0.3) that exercises both couplings at once.
+
+ALCH_LAMBDA_POINTS = [
+    {"master": 0.0, "sterics": 1.0, "electrostatics": 1.0},
+    {"master": 0.1, "sterics": 1.0, "electrostatics": 0.5},
+    {"master": 0.25, "sterics": 0.25 / 0.3, "electrostatics": 0.0},
+    {"master": 0.5, "sterics": 0.0, "electrostatics": 0.0},
+    {"master": None, "sterics": 0.5, "electrostatics": 0.3},
+]
+
+ALCH_SYSTEMS = {
+    # TOL-parm: the reference's toluene-in-water alchemical test system
+    # (LIG region). Box 21.8 A caps the eligible backends at
+    # dense/tiled/pallas for the 9 A production cutoff.
+    "TOL-parm": dict(resname="LIG", cutoff_ang=9.0),
+    # watDivaline: 29.6 A box — at 8 A cutoff all five backends
+    # (dense/tiled/pallas/cells/verlet) are grid-eligible. Alchemical
+    # region = the first VAL residue.
+    "watDivaline": dict(resname="VAL", first_residue_only=True, cutoff_ang=8.0),
+}
+
+ALCH_FD_NDIR = 2
+
+
+def main_softcore(out_path):
+    fixtures = {
+        "_provenance": (
+            "generated by tools/golden_oracle.py main_softcore (independent "
+            "f64 implementation of the openmmtools alchemical potential, "
+            "'direct-space' PME treatment, softcore alpha=0.5 a=b=1 c=6, "
+            "annihilate_electrostatics=True annihilate_sterics=False; "
+            "LJ from ACOEF/BCOEF pair tables, brute-force Ewald). "
+            "Energies kJ/mol."
+        ),
+        "ewald_tol": EWALD_TOL,
+        "fd": {"h_ang": FD_H_ANG, "seed": FD_SEED, "ndir": ALCH_FD_NDIR},
+        "systems": {},
+    }
+    npz_path = os.path.join(os.path.dirname(out_path), "golden_parity_positions.npz")
+    relaxed = np.load(npz_path) if os.path.exists(npz_path) else None
+    for name, spec in ALCH_SYSTEMS.items():
+        pp = os.path.join(DATA, f"{name}.prmtop")
+        cp = os.path.join(DATA, f"{name}.inpcrd")
+        if not (os.path.exists(pp) and os.path.exists(cp)):
+            print(f"skip {name}: missing files", file=sys.stderr)
+            continue
+        oracle = AmberOracle(pp)
+        x, box = parse_inpcrd(cp)
+        if relaxed is not None and name in relaxed:
+            x = relaxed[name] * 10.0  # nm -> Angstrom
+        alch = oracle.residue_atoms(spec["resname"])
+        if spec.get("first_residue_only"):
+            # contiguous leading run = first residue
+            brk = np.nonzero(np.diff(alch) != 1)[0]
+            alch = alch[: brk[0] + 1] if len(brk) else alch
+        rc = spec["cutoff_ang"]
+        base_pairs = oracle.pair_selection(x, box, rc)
+        rng = np.random.default_rng(FD_SEED)
+        dirs = rng.standard_normal((ALCH_FD_NDIR, x.shape[0], 3))
+        dirs /= np.linalg.norm(dirs.reshape(ALCH_FD_NDIR, -1), axis=1)[:, None, None]
+        points = []
+        for pt in ALCH_LAMBDA_POINTS:
+            ls, le = pt["sterics"], pt["electrostatics"]
+            groups = oracle.total_alchemical(
+                x, box, rc, alch, ls, le, EWALD_TOL, pairs=base_pairs
+            )
+
+            def cd(d, h):
+                ep = oracle.total_alchemical(
+                    x + h * d, box, rc, alch, ls, le, EWALD_TOL, pairs=base_pairs
+                )["total"]
+                em = oracle.total_alchemical(
+                    x - h * d, box, rc, alch, ls, le, EWALD_TOL, pairs=base_pairs
+                )["total"]
+                return (ep - em) / (2 * h)
+
+            derivs = []
+            for d in dirs:
+                d1 = cd(d, FD_H_ANG)
+                d2 = cd(d, FD_H_ANG / 2.0)
+                derivs.append((4.0 * d2 - d1) / 3.0 * KCAL * 10.0)  # kJ/nm
+            points.append(
+                {
+                    **pt,
+                    "groups_kj": kj(groups),
+                    "directional_dE_kj_per_nm": derivs,
+                }
+            )
+            print(
+                f"{name} lam=({ls:.4f},{le:.4f}): total "
+                f"{groups['total'] * KCAL:.4f} kJ/mol",
+                file=sys.stderr,
+            )
+        fixtures["systems"][name] = {
+            "n_atoms": oracle.n,
+            "box_ang": list(box),
+            "cutoff_nm": rc / 10.0,
+            "alch_atoms": [int(v) for v in alch],
+            "points": points,
+        }
+    with open(out_path, "w") as f:
+        json.dump(fixtures, f, indent=1)
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "tests/data/golden_parity.json")
+    if len(sys.argv) > 1 and sys.argv[1] == "softcore":
+        main_softcore(
+            sys.argv[2] if len(sys.argv) > 2 else "tests/data/golden_softcore.json"
+        )
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "tests/data/golden_parity.json")
