@@ -53,6 +53,9 @@ class NCMCResult(NamedTuple):
     move_aux: object  # pytree returned by the move (diagnostics)
     snapshots: object  # (K, N, 3) positions at record_micro points, or None
     snapshot_work: object  # (K,) protocol work (kJ/mol) at those points
+    #: (n_micro, S, 3) end-of-micro-step positions of the stream_atoms
+    #: subset + initial/pre-move entries, or None (see make_ncmc_protocol)
+    micro_stream: object = None
 
 
 def _stack_schedule(schedule: NCMCSchedule, lo: int, hi: int, dtype):
@@ -74,6 +77,7 @@ def make_ncmc_protocol(
     record_micro=(),
     splitting: str = "H V R O R V H",
     naive_accumulation: bool = False,
+    stream_atoms=None,
 ):
     """Build protocol_fn(x, v, box, key) -> NCMCResult.
 
@@ -87,6 +91,15 @@ def make_ncmc_protocol(
     A snapshot at micro index m is taken after m micro steps, with the
     midpoint move included once m >= move_micro; the final snapshot
     (m == n_micro) includes the closing lambda-transition work.
+
+    ``stream_atoms``: static atom indices whose END-of-micro-step positions
+    are recorded per step via the scan's ys output into
+    NCMCResult.micro_stream, shape (n_micro, S, 3) — every work term in the
+    protocol is an energy difference at one of these recorded positions
+    (plus the start/mid positions returned anyway), so an external f64
+    replay can recompute the EXACT work of the f32 trajectory
+    (tools/work_precision_replay.py; SURVEY.md 7.3.5). Intended for frozen
+    systems where S = mobile atoms keeps the stream small.
     """
     m = make_baoab_machinery(masses, params, constrain_x, constrain_v)
     kT = units.kT(params.temperature)
@@ -119,6 +132,10 @@ def make_ncmc_protocol(
     h_R = params.dt / n_R
     h_O = params.dt / n_O
 
+    stream_idx = (
+        None if stream_atoms is None else jnp.asarray(np.asarray(stream_atoms, np.int64))
+    )
+
     def micro_step(carry, g):
         x, v, key, work, e_cache, box = carry
         e1, f = force_fn(x, box, g)
@@ -141,7 +158,8 @@ def make_ncmc_protocol(
             # energy baseline for the next step's work capture must be at
             # the final positions
             e_at_x, f = force_fn(x, box, g)
-        return (x, v, key, work, e_at_x, box), None
+        y = None if stream_idx is None else x[stream_idx]
+        return (x, v, key, work, e_at_x, box), y
 
     rec = tuple(sorted(set(int(m) for m in record_micro)))
     if rec and not (0 <= rec[0] and rec[-1] <= schedule.n_micro):
@@ -197,10 +215,13 @@ def make_ncmc_protocol(
             snap_works.append(carry[3].value)
 
         prev = 0
+        stream_segs = []
         for p in boundaries:
             if p > prev:
                 xs = _stack_schedule(schedule, prev, p, dtype)
-                carry, _ = jax.lax.scan(micro_step, carry, xs)
+                carry, ys = jax.lax.scan(micro_step, carry, xs)
+                if stream_idx is not None:
+                    stream_segs.append(ys)
             prev = p
             if p == mm and mm > 0 and move is not None:
                 carry, aux = apply_move(carry)
@@ -236,6 +257,9 @@ def make_ncmc_protocol(
             move_aux=aux,
             snapshots=jnp.stack(snaps) if snaps else None,
             snapshot_work=jnp.stack(snap_works) if snaps else None,
+            micro_stream=(
+                jnp.concatenate(stream_segs, axis=0) if stream_segs else None
+            ),
         )
 
     return protocol_fn

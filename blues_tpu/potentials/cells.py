@@ -46,6 +46,17 @@ def _grid_shape(box_lengths, cutoff, shrink_margin=0.97):
     return np.maximum((np.asarray(box_lengths) * shrink_margin / cutoff).astype(int), 1)
 
 
+def _perp_widths(box):
+    """Perpendicular widths of a (3,3) row-vector cell along each lattice
+    direction: w_d = 1 / ||inv(H)[:, d]|| — the distance between the
+    fractional planes u_d = 0 and u_d = 1. Equals the diagonal for
+    orthorhombic boxes. Fractional cells of width >= cutoff/w_d guarantee
+    the 27-neighborhood covers every pair within the cutoff, exactly as in
+    the orthorhombic case."""
+    inv = np.linalg.inv(np.asarray(box, np.float64))
+    return 1.0 / np.linalg.norm(inv, axis=0)
+
+
 def _neighbor_table(ncells, half=False):
     """(nc_tot, K) neighbor cell ids with periodic wrap plus the (nc_tot,
     K, 3) image shifts (in box lengths) of each neighbor relative to the
@@ -122,14 +133,26 @@ def make_cell_pair_sum(
     """
     if not periodic or box0 is None:
         raise ValueError("cell-list backend requires a periodic box")
+    from .triclinic import is_triclinic
+
     n = feats.n_atoms
     nr = feats.n_rows
-    L0 = np.diag(np.asarray(box0, np.float64))
+    B0 = np.asarray(box0, np.float64)
+    tri = is_triclinic(B0)
+    # triclinic cells bin in FRACTIONAL space: grid sized from the
+    # perpendicular widths so a fractional cell always covers the cutoff
+    L0 = _perp_widths(B0) if tri else np.diag(B0)
     ncells = _grid_shape(L0, cutoff)
     nc_tot = int(np.prod(ncells))
     if nc_tot < 27:
         raise ValueError(
             f"grid {tuple(ncells)} too small for a cell list; use 'tiled'"
+        )
+    if tri and int(ncells.min()) < 3:
+        raise ValueError(
+            f"triclinic cell grid {tuple(ncells)} needs >= 3 cells per "
+            "dimension (the lattice-shift minimum image aliases otherwise); "
+            "use the dense backend for this box/cutoff"
         )
     # Newton's third law option: visit each pair once (self cell + 13
     # positive offsets) and scatter forces to both sides. Requires every
@@ -230,7 +253,15 @@ def make_cell_pair_sum(
     def _pass(x, box, lam_s, f_na, f_aa):
         dtype = x.dtype
         L = jnp.diagonal(box).astype(dtype)
-        xw = x - L * jnp.floor(x / L)
+        if tri:
+            # fractional-space binning: u in [0,1)^3, positions re-mapped
+            # into the primary cell of the (runtime) lattice
+            boxd = jnp.asarray(box, dtype)
+            u = x @ jnp.linalg.inv(boxd)
+            u = u - jnp.floor(u)
+            xw = u @ boxd
+        else:
+            xw = x - L * jnp.floor(x / L)
         # positions travel box-wrapped so the static shift table gives the
         # exact minimum image without a per-pair round/divide
         chan = jnp.concatenate(
@@ -247,7 +278,15 @@ def make_cell_pair_sum(
             axis=1,
         )  # (n, C)
 
-        cid = _cell_ids(xw, L)
+        if tri:
+            ci = jnp.clip(
+                jnp.floor(u * ncells_j.astype(dtype)).astype(jnp.int32),
+                0,
+                jnp.asarray(ncells - 1, jnp.int32),
+            )
+            cid = ci @ strides
+        else:
+            cid = _cell_ids(xw, L)
         all_ids = jnp.arange(n)
         cols_buf, over_c = _pack(all_ids, cid, cap_col, x, chan)
         if nr == n:
@@ -257,7 +296,12 @@ def make_cell_pair_sum(
             rows_buf, over_r = _pack(row_idx, cid[row_idx], cap_row, x, chan)
             rcap = cap_row
         # grid validity: cell edge must still cover the cutoff (NPT shrink)
-        invalid = over_c | over_r | jnp.any(L / ncells_j < cutoff)
+        if tri:
+            inv_rt = jnp.linalg.inv(jnp.asarray(box, dtype))
+            widths = 1.0 / jnp.sqrt(jnp.sum(inv_rt * inv_rt, axis=0))
+            invalid = over_c | over_r | jnp.any(widths / ncells_j < cutoff)
+        else:
+            invalid = over_c | over_r | jnp.any(L / ncells_j < cutoff)
 
         def chunk(carry, c0):
             e_acc, f_acc = carry
@@ -269,13 +313,17 @@ def make_cell_pair_sum(
             if use_shifts:
                 # apply the per-(cell, neighbor) image shift to the column
                 # positions BEFORE flattening: the per-pair minimum image
-                # then needs no round/divide at all
+                # then needs no round/divide at all. Triclinic: the shift
+                # counts are LATTICE counts -> shift vector = counts @ H
                 sh = jax.lax.dynamic_slice(
                     shift_tab, (c0, 0, 0), (CELL_CHUNK, n_nbr, 3)
                 ).astype(dtype)
-                cols4 = cols4.at[:, :, :, 0:3].add(
-                    (sh * L)[:, :, None, :]
+                sh_vec = (
+                    jnp.einsum("bkd,de->bke", sh, jnp.asarray(box, dtype))
+                    if tri
+                    else sh * L
                 )
+                cols4 = cols4.at[:, :, :, 0:3].add(sh_vec[:, :, None, :])
             cols = cols4.reshape(CELL_CHUNK, n_nbr * cap_col, C)
 
             xi = rows[:, :, None, 0:3]
@@ -350,9 +398,13 @@ def make_cell_pair_sum(
             (jnp.zeros((), dtype), f0),
             jnp.arange(n_chunks) * CELL_CHUNK,
         )
-        # poison on overflow / invalid grid -> NaN -> driver rejects
-        e_total = e_total + jnp.where(invalid, jnp.nan, 0.0)
-        return e_total, f[:n]
+        # poison BOTH outputs on overflow / invalid grid: the MD driver
+        # consumes only forces (energies are discarded per step), so a
+        # clean-force return on a truncated bin buffer would be silently
+        # wrong physics that never trips the rollback (same invariant as
+        # potentials/verlet.py)
+        poison = jnp.where(invalid, jnp.nan, 0.0)
+        return e_total + poison, f[:n] + poison
 
     @jax.custom_vjp
     def pair_energy(x, box, lam_s, f_na, f_aa):

@@ -203,8 +203,9 @@ def make_nonbonded_energy(
             "implemented: 'direct-space' (reference default), 'coulomb', 'exact'"
         )
     # triclinic cells: the dense path (staircase minimum image + general-
-    # lattice PME, potentials/triclinic.py) supports them; the tiled/pallas/
-    # cells/verlet kernels assume an orthorhombic (diagonal) box
+    # lattice PME, potentials/triclinic.py) and the cells backend
+    # (fractional-space binning + lattice-vector image shifts) support
+    # them; the tiled/pallas/verlet kernels assume an orthorhombic box
     triclinic_box = False
     if box_for_pme is not None:
         from .triclinic import is_triclinic, reduce_box_vectors
@@ -218,12 +219,21 @@ def make_nonbonded_energy(
                     "potentials.triclinic.reduce_box_vectors first"
                 )
             if backend == "auto":
-                backend = "dense"
-            elif backend != "dense":
+                # prefer the O(N) triclinic cell list when the grid is
+                # eligible (fractional-space binning, potentials/cells.py);
+                # tiny boxes fall back to dense
+                from .cells import _grid_shape, _perp_widths
+
+                eligible = (
+                    method in (PME, CUTOFF_PERIODIC)
+                    and int(_grid_shape(_perp_widths(box_for_pme), cutoff).min()) >= 3
+                )
+                backend = "cells" if eligible else "dense"
+            elif backend not in ("dense", "cells"):
                 raise ValueError(
-                    f"triclinic boxes require backend='dense' (got {backend!r}); "
-                    "the tiled/pallas/cells/verlet kernels assume an "
-                    "orthorhombic box"
+                    f"triclinic boxes require backend 'dense' or 'cells' "
+                    f"(got {backend!r}); the tiled/pallas/verlet kernels "
+                    "assume an orthorhombic box"
                 )
     n = nb.charge.shape[0]
     if backend == "auto":
@@ -249,14 +259,25 @@ def make_nonbonded_energy(
                 backend = "cells" if mobile_frac > 0.5 else "tiled"
     if backend in ("cells", "verlet"):
         # cell/verlet lists need a periodic box and a grid of >= 27 cells
-        from .cells import _grid_shape
+        from .cells import _grid_shape, _perp_widths
 
         edge = cutoff + (0.1 if backend == "verlet" else 0.0)
+        widths = (
+            _perp_widths(box_for_pme)
+            if (triclinic_box and box_for_pme is not None)
+            else (np.diag(np.asarray(box_for_pme)) if box_for_pme is not None else None)
+        )
         eligible = (
             method in (PME, CUTOFF_PERIODIC)
             and box_for_pme is not None
-            and int(np.prod(_grid_shape(np.diag(np.asarray(box_for_pme)), edge))) >= 27
+            and int(np.prod(_grid_shape(widths, edge))) >= 27
+            and (not triclinic_box or int(_grid_shape(widths, edge).min()) >= 3)
         )
+        if triclinic_box and not eligible:
+            raise ValueError(
+                "triclinic cell grid too small for the cells backend at "
+                f"cutoff {cutoff}; use backend='dense'"
+            )
         if backend == "verlet" and masses is not None:
             # the verlet backend has no frozen-row compaction; frozen
             # systems route to the column-culled pallas/tiled kernels
@@ -281,6 +302,7 @@ def make_nonbonded_energy(
             frozen_ref_positions=frozen_ref_positions,
             dispersion_correction=dispersion_correction,
             switch_distance=switch_distance,
+            triclinic_box=triclinic_box,
             frozen_cull_skin=frozen_cull_skin,
             frozen_cull_cage_margin=frozen_cull_cage_margin,
             bonds_for_cull=bonds_for_cull,
@@ -514,6 +536,7 @@ def _make_pair_backend_energy(
     frozen_ref_positions=None,
     dispersion_correction: bool = True,
     switch_distance=None,
+    triclinic_box: bool = False,
     frozen_cull_skin: Optional[float] = 0.45,
     frozen_cull_cage_margin: float = 1.0,
     bonds_for_cull=None,
@@ -549,7 +572,7 @@ def _make_pair_backend_energy(
         alpha = pme_params.alpha
         from .pme import make_pme_reciprocal
 
-        recip_fn = make_pme_reciprocal(pme_params)
+        recip_fn = make_pme_reciprocal(pme_params, triclinic=triclinic_box)
         recip_fn_frozen = None
     else:
         alpha, recip_fn, recip_fn_frozen = 0.0, None, None
@@ -586,6 +609,9 @@ def _make_pair_backend_energy(
         method == PME
         and active_rows is not None
         and frozen_ref_positions is not None
+        # the frozen-background spread is orthorhombic-only; triclinic
+        # frozen systems run the full spread (correct, just slower)
+        and not triclinic_box
     ):
         from .pme import make_pme_reciprocal as _mk_recip, precompute_spread_grid
 
@@ -789,7 +815,14 @@ def _make_pair_backend_energy(
                     jnp.sum(d * d, -1) > radii2_j.astype(positions.dtype)
                 )
                 bad = jax.lax.stop_gradient(bad)
-                return jnp.where(bad, jnp.nan, 0.0)
+                # the 1e-30*sum(positions) factor keeps a (non-foldable)
+                # position dependence so autodiff FORCES also poison when
+                # the guard trips: the MD driver consumes only forces, and
+                # clean forces on a violated ball would be silently wrong
+                # physics that never trips the rollback (same invariant as
+                # the cells/verlet overflow poisons)
+                poison = jnp.where(bad, jnp.nan, 0.0)
+                return poison * (1.0 + 1e-30 * jnp.sum(positions))
 
     if backend == "pallas":
         from .pallas.pair_kernel import make_pallas_pair_sum

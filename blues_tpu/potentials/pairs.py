@@ -68,18 +68,27 @@ def coulomb_erfc(r2, qq, alpha_ewald):
     """Returns (energy, g) for ke*qq*erfc(alpha r)/r.
 
     Written around one rsqrt (hardware op) instead of sqrt + divides, and
-    the erfc exponential reused for the force's Gaussian term."""
+    the erfc exponential reused for the force's Gaussian term.
+
+    Precision branch (static at trace time): f32 — the TPU production
+    dtype — uses the inline A&S 7.1.26 approximation (1.5e-7 abs, at the
+    f32 rounding floor) because lax.erfc has no Mosaic lowering inside
+    Pallas kernels; f64 — golden-parity / oracle-replay runs — uses the
+    exact lax.erfc so the approximation never limits <=1e-4 force pins."""
     inv_r = jax.lax.rsqrt(r2)
     r = r2 * inv_r
     x = alpha_ewald * r
-    # A&S 7.1.26 inline so exp(-x^2) is shared with the force term
-    t = 1.0 / (1.0 + 0.3275911 * x)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
     gauss_exp = jnp.exp(-x * x)
-    erfc_term = poly * gauss_exp
+    if jnp.result_type(r2) == jnp.float64:
+        erfc_term = jax.lax.erfc(x)
+    else:
+        # A&S 7.1.26 inline so exp(-x^2) is shared with the force term
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = t * (
+            0.254829592
+            + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+        )
+        erfc_term = poly * gauss_exp
     e = units.ONE_4PI_EPS0 * qq * erfc_term * inv_r
     g = -(e + units.ONE_4PI_EPS0 * qq * (2.0 * alpha_ewald / SQRT_PI) * gauss_exp) * inv_r * inv_r
     return e, g

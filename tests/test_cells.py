@@ -106,9 +106,56 @@ def test_cells_poison_on_shrunken_box(water_tol_system):
     system, x = water_tol_system
     box = jnp.asarray(system.box, jnp.float32)
     efn = _efn(system, "cells")
-    # shrinking the box below grid validity must poison, not silently drop
-    e_bad = efn(x * 0.5, box * 0.5, None)
+    # shrinking the box below grid validity must poison, not silently drop.
+    # BOTH energy AND forces: the MD driver consumes only forces, so a
+    # clean-force return would be silently wrong physics that never trips
+    # the rollback (same invariant as the verlet staleness poison).
+    from blues_tpu.potentials.energy import make_force_fn
+
+    e_bad, f_bad = make_force_fn(efn)(x * 0.5, box * 0.5, None)
     assert not np.isfinite(float(e_bad))
+    assert not np.all(np.isfinite(np.asarray(f_bad)))
+
+
+def test_cull_guard_poisons_forces():
+    """A violated culling reach ball must poison FORCES as well as energy
+    (the MD stage discards per-step energies)."""
+    import os
+
+    DATA = "/root/reference/blues/tests/data"
+    if not os.path.isdir(DATA):
+        pytest.skip("no reference data")
+    import warnings
+
+    from blues_tpu.core.amber_coords import load_inpcrd
+    from blues_tpu.core.prmtop import load_prmtop
+    from blues_tpu.core.system import AlchemicalRegion
+    from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
+
+    system = load_prmtop(f"{DATA}/watDivaline.prmtop")
+    crd = load_inpcrd(f"{DATA}/watDivaline.inpcrd")
+    system = system.replace(box=crd.box)
+    val = system.topology.select_resname("VAL")
+    system = system.replace(alchemical=AlchemicalRegion(atoms=val[:16]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        frozen = system.freeze_radius(np.asarray(crd.positions), val[:16], 0.3)
+    efn = make_energy_fn(
+        frozen, nonbonded_method="PME", cutoff=0.6,
+        nonbonded_backend="tiled", frozen_cull_skin=0.25,
+        frozen_cull_cage_margin=0.3,
+    )
+    assert efn.nonbonded.cull_info is not None
+    mobile = np.where(np.asarray(frozen.masses) > 0)[0]
+    is_alch = np.zeros(system.n_atoms, bool)
+    is_alch[val[:16]] = True
+    mob_nonalch = mobile[~is_alch[mobile]]
+    x3 = np.array(crd.positions)
+    x3[mob_nonalch[0]] += 1.0  # far outside its permanent reach ball
+    box = jnp.asarray(crd.box, jnp.float32)
+    e_bad, f_bad = make_force_fn(efn)(jnp.asarray(x3, jnp.float32), box, None)
+    assert not np.isfinite(float(e_bad))
+    assert not np.all(np.isfinite(np.asarray(f_bad)))
 
 
 def test_cells_auto_fallback_small_box():

@@ -101,13 +101,18 @@ def test_per_group_and_total_energy_parity(name, fixtures):
             e = float(make_energy_fn(sub)(xj, box, None))
             assert _rel(e, g[group]) < REL_TOL, (group, e, g[group])
 
-        # nonbonded aggregate (direct LJ/Coulomb + 1-4 + full Ewald)
+        # nonbonded aggregate (direct LJ/Coulomb + 1-4 + full Ewald).
+        # cells is pinned DIRECTLY where its grid is eligible (watDivaline:
+        # 29.6 A box / 9 A cutoff -> 3^3 cells); TOL-parm's 21.8 A box is
+        # too small and would silently fall back to tiled. verlet's direct
+        # f64 pin lives in test_golden_softcore.py (8 A cutoff fixture).
         nb_only = system.replace(**empty)
         nb_golden = sum(
             g[k] for k in ("lj", "coulomb", "lj14", "coulomb14", "recip", "self", "plasma", "excl_corr")
             if k in g
         )
-        for backend in ("dense", "tiled"):
+        backends = ["dense", "tiled"] + (["cells"] if name == "watDivaline" else [])
+        for backend in backends:
             e_nb = float(
                 make_energy_fn(
                     nb_only, nonbonded_backend=backend, **_nb_kwargs(fx, spec["periodic"])

@@ -46,7 +46,11 @@ def _stream(n, rng):
 
 
 @pytest.mark.parametrize("n", [10_000, 50_000])
-def test_kahan_f32_tracks_f64_where_naive_drifts(n):
+def test_kahan_f32_tracks_f64_on_production_streams(n):
+    """Kahan-f32 accumulation of production-like increment streams tracks
+    the f64 sum to << kT. (On THIS stream naive f32 happens to do about as
+    well — the naive-f32-fails property is pinned by the offset-pathology
+    companion test below, where naive loses every small increment.)"""
     rng = np.random.default_rng(0)
     inc = _stream(n, rng)
     ref = float(np.sum(inc.astype(np.float64)))
@@ -63,16 +67,11 @@ def test_kahan_f32_tracks_f64_where_naive_drifts(n):
         KahanAccumulator.zeros(jnp.float32),
         jnp.asarray(inc),
     )
-    # naive f32
-    naive, _ = jax.lax.scan(
-        scan_sum(lambda a, v: a + v), jnp.zeros((), jnp.float32), jnp.asarray(inc)
-    )
     kT = units.kT(300.0)
     err_kahan = abs(float(kah.value) - ref)
     # << kT even at 5x the production protocol length with O(2e4 kJ/mol)
     # transients: acceptance bias from accumulation error is negligible
     assert err_kahan < 0.05 * kT, (err_kahan, ref)
-    del naive  # informational only on this stream
 
 
 def test_kahan_recovers_small_increments_under_large_offset():
@@ -99,6 +98,75 @@ def test_kahan_recovers_small_increments_under_large_offset():
     naive, _ = jax.lax.scan(body_n, jnp.zeros((), jnp.float32), jnp.asarray(inc))
     assert abs(float(kah.value) - ref) < 0.01
     assert abs(float(naive) - ref) > 50.0  # naive loses the increments
+
+
+def test_micro_stream_replay_reproduces_work():
+    """NCMCResult.micro_stream records enough positions to replay the
+    protocol's exact work bookkeeping externally (the f64 ground-truth
+    replay of tools/work_precision_replay.py). Here the replay runs in f64
+    on the ethylene protocol and must match the protocol's own Kahan-f32
+    work to f32 precision of the energy differences."""
+    from blues_tpu.core.state import maxwell_boltzmann_velocities
+    from blues_tpu.integrators.constraints import make_constraint_fns
+    from blues_tpu.integrators.langevin import LangevinParams
+    from blues_tpu.integrators.ncmc import make_ncmc_protocol
+    from blues_tpu.integrators.schedules import build_ncmc_schedule
+    from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
+
+    system, x0 = charged_ethylene()
+    lig = system.topology.select_resname("LIG")
+    efn = make_energy_fn(system)
+    ffn = make_force_fn(efn)
+    cx, cv = make_constraint_fns(system.constraints, system.masses)
+    params = LangevinParams(dt=0.001, friction=1.0, temperature=200.0)
+    schedule = build_ncmc_schedule(20)
+    move = RandomLigandRotationMove(lig, system.masses)
+    stream_atoms = np.arange(system.n_atoms)
+    protocol = make_ncmc_protocol(
+        efn, ffn, system.masses, params, cx, cv, schedule, move=move,
+        stream_atoms=stream_atoms,
+    )
+    key = jax.random.PRNGKey(5)
+    kv, kp = jax.random.split(key)
+    x = jnp.asarray(x0, jnp.float32)
+    v = cv(maxwell_boltzmann_velocities(kv, system.masses, 200.0), x)
+    res = jax.jit(protocol)(x, v, None, kp)
+    stream = np.asarray(res.micro_stream)
+    M, mm = schedule.n_micro, schedule.move_micro
+    assert stream.shape == (M, system.n_atoms, 3)
+
+    with jax.enable_x64(True):
+        efn64 = make_energy_fn(system)
+
+        def E(xf, g):
+            gg = {k: jnp.asarray(v, jnp.float64) for k, v in g.items()}
+            return float(efn64(jnp.asarray(xf, jnp.float64), None, gg))
+
+        g_step = [
+            {k: schedule.globals_per_step[k][i] for k in schedule.globals_per_step}
+            for i in range(M)
+        ]
+        x_start = np.asarray(cx(x, x), np.float64)
+        mid = np.asarray(res.mid_positions, np.float64)
+        W = 0.0
+        for k in range(1, M + 1):
+            if k == mm + 1 and mm > 0:
+                x_prev, g_prev = mid, schedule.globals_pre_move
+            else:
+                x_prev = x_start if k == 1 else stream[k - 2]
+                g_prev = schedule.globals_initial if k == 1 else g_step[k - 2]
+            W += E(x_prev, g_step[k - 1]) - E(x_prev, g_prev)
+            if k == mm and mm > 0:
+                x_mm = stream[mm - 1]
+                W += E(x_mm, schedule.globals_pre_move) - E(x_mm, g_step[mm - 1])
+                W += E(mid, schedule.globals_pre_move) - E(x_mm, schedule.globals_pre_move)
+        x_end = stream[M - 1]
+        W += E(x_end, schedule.globals_final) - E(x_end, g_step[M - 1])
+
+    w32 = float(res.protocol_work)
+    # agreement limited only by f32 energy-difference rounding (ethylene
+    # energies are O(10) kJ/mol -> absolute f32 noise ~1e-5/step)
+    assert abs(W - w32) < 5e-3, (W, w32)
 
 
 # --- 2. Jarzynski / dissipation on the full driver ----------------------------

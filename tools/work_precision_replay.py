@@ -1,0 +1,210 @@
+"""Production-length work-precision evidence (VERDICT r2 #7; SURVEY 7.3.5).
+
+Runs the FULL 10,000-step production NCMC switching protocol on the frozen
+flagship system in f32 (the TPU production dtype), recording the
+end-of-micro-step positions of the mobile subset (NCMCResult.micro_stream),
+then REPLAYS the exact work bookkeeping of that same trajectory in f64:
+
+    W = sum_k [ E(x_{k-1}, g_k) - E(x_{k-1}, g_{k-1}) ]        (lambda terms)
+      + E(x_mm, g_pre) - E(x_mm, g_mm)                          (move-lambda)
+      + E(x_mid, g_pre) - E(x_mm, g_pre)                        (move work)
+      + E(x_M, g_final) - E(x_M, g_M)                           (closing)
+
+Every term is an energy difference at a RECORDED position, so the f64 sum
+is the ground-truth work of the f32 trajectory — it captures BOTH the f32
+accumulation error (what Kahan fixes) and the per-evaluation f32 energy
+rounding (the cancellation of ~1e5 kJ/mol energies into ~1e-2 kJ/mol
+differences). The protocol is also run with naive f32 accumulation (same
+keys -> bitwise-same trajectory; the accumulator does not feed back into
+dynamics) to separate the two error sources.
+
+Writes docs/work_precision_production.json:
+    {W_kahan_f32, W_naive_f32, W_f64_replay, |dW| values in kT, ...}
+
+Usage:
+    PYTHONPATH=/root/repo python tools/work_precision_replay.py \
+        [--nsteps 10000] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+KT300 = 8.31446261815324e-3 * 300.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nsteps", type=int, default=10000)
+    ap.add_argument("--n-atoms", type=int, default=22340)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="docs/work_precision_production.json")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import warnings
+
+    from blues_tpu.core.state import maxwell_boltzmann_velocities
+    from blues_tpu.integrators.constraints import make_constraint_fns
+    from blues_tpu.integrators.langevin import LangevinParams
+    from blues_tpu.integrators.minimize import minimize_fire
+    from blues_tpu.integrators.ncmc import make_ncmc_protocol
+    from blues_tpu.integrators.schedules import build_ncmc_schedule
+    from blues_tpu.moves import RandomLigandRotationMove
+    from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
+    from blues_tpu.testsystems import t4_scale_binding_site_box
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    system, x0 = t4_scale_binding_site_box(n_atoms=args.n_atoms)
+    lig = system.topology.select_resname("LIG")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fs = system.freeze_radius(np.asarray(x0), lig, 0.5)
+    m = np.asarray(fs.masses)
+    is_alch = np.zeros(fs.n_atoms, bool)
+    is_alch[np.asarray(fs.alchemical.atoms)] = True
+    stream_atoms = np.where((m > 0) | is_alch)[0]
+    log(f"# {fs.n_atoms} atoms, stream subset {len(stream_atoms)}; backend={backend}")
+
+    efn_kwargs = dict(
+        nonbonded_method="PME", cutoff=1.0, ewald_tolerance=0.005,
+    )
+    efn = make_energy_fn(fs, nonbonded_backend=backend, **efn_kwargs)
+    ffn = make_force_fn(efn)
+    cx, cv = make_constraint_fns(fs.constraints, fs.masses)
+    box = jnp.asarray(fs.box, jnp.float32)
+    x = jnp.asarray(x0, jnp.float32)
+    x, _ = jax.jit(
+        lambda x: minimize_fire(ffn, fs.masses, x, box, n_steps=400, constrain_x=cx)
+    )(x)
+
+    params = LangevinParams(dt=0.004, friction=1.0, temperature=300.0)
+    schedule = build_ncmc_schedule(args.nsteps)
+    move = RandomLigandRotationMove(lig, fs.masses)
+    key = jax.random.PRNGKey(777)
+    kv, kp = jax.random.split(key)
+    v = cv(maxwell_boltzmann_velocities(kv, fs.masses, 300.0), x)
+
+    results = {}
+    stream = None
+    for label, naive in (("kahan", False), ("naive", True)):
+        protocol = make_ncmc_protocol(
+            efn, ffn, fs.masses, params, cx, cv, schedule, move=move,
+            naive_accumulation=naive,
+            stream_atoms=stream_atoms if not naive else None,
+        )
+        pj = jax.jit(protocol)
+        t0 = time.time()
+        res = pj(x, v, box, kp)
+        jax.block_until_ready(res.protocol_work)
+        w = float(res.protocol_work)
+        log(f"# {label}: W = {w:.6f} kJ/mol ({w / KT300:.6f} kT) in {time.time() - t0:.0f}s")
+        results[label] = w
+        if not naive:
+            stream = np.asarray(res.micro_stream)  # (M, S, 3) f32
+            mid_pos = np.asarray(res.mid_positions)
+            e_init_f32 = float(res.e_initial)
+            e_final_f32 = float(res.e_final)
+
+    # --- f64 replay of the recorded trajectory's work bookkeeping -----------
+    M = schedule.n_micro
+    assert stream.shape[0] == M, stream.shape
+    mm = schedule.move_micro
+    x_start = np.asarray(jax.jit(lambda x: cx(x, x))(x), np.float64)
+    template = np.array(x_start)  # frozen atoms never move
+
+    def full_x(sub):
+        out = template.copy()
+        out[stream_atoms] = np.asarray(sub, np.float64)
+        return out
+
+    log("# building f64 replay energy fn (tiled backend)...")
+    t0 = time.time()
+    with jax.enable_x64(True):
+        efn64 = make_energy_fn(fs, nonbonded_backend="tiled", **efn_kwargs)
+        box64 = jnp.asarray(np.asarray(fs.box), jnp.float64)
+        efn64_j = jax.jit(efn64, static_argnames=())
+
+        def E(xf, g):
+            gg = {k: jnp.asarray(v, jnp.float64) for k, v in g.items()}
+            return float(efn64_j(jnp.asarray(xf, jnp.float64), box64, gg))
+
+        g_step = [
+            {k: schedule.globals_per_step[k][i] for k in schedule.globals_per_step}
+            for i in range(M)
+        ]
+        g_init = schedule.globals_initial
+        g_pre = schedule.globals_pre_move
+
+        W64 = 0.0
+        report_every = max(M // 20, 1)
+        for k in range(1, M + 1):
+            if k == mm + 1 and mm > 0:
+                x_prev = full_x(mid_pos[stream_atoms])
+                g_prev = g_pre
+            else:
+                x_prev = x_start if k == 1 else full_x(stream[k - 2])
+                g_prev = g_init if k == 1 else g_step[k - 2]
+            W64 += E(x_prev, g_step[k - 1]) - E(x_prev, g_prev)
+            if k == mm and mm > 0:
+                x_mm = full_x(stream[mm - 1])
+                W64 += E(x_mm, g_pre) - E(x_mm, g_step[mm - 1])
+                x_mid = full_x(mid_pos[stream_atoms])
+                W64 += E(x_mid, g_pre) - E(x_mm, g_pre)
+            if k % report_every == 0:
+                log(f"#   replay {k}/{M}  W64 = {W64 / KT300:+.6f} kT")
+        x_end = full_x(stream[M - 1])
+        W64 += E(x_end, schedule.globals_final) - E(x_end, g_step[M - 1])
+    log(f"# f64 replay done in {time.time() - t0:.0f}s")
+
+    artifact = {
+        "protocol": {
+            "nstepsNC": args.nsteps,
+            "n_micro": M,
+            "dt_fs": 4.0,
+            "cutoff_nm": 1.0,
+            "system_atoms": int(fs.n_atoms),
+            "mobile_atoms": int(len(stream_atoms)),
+            "backend_f32": backend,
+            "backend_f64_replay": "tiled (exact lax.erfc in f64)",
+            "note": (
+                "f64 replay recomputes every work term (energy differences "
+                "at recorded f32-trajectory positions) in float64 — ground "
+                "truth for BOTH accumulation and per-eval rounding error."
+            ),
+        },
+        "W_kahan_f32_kT": results["kahan"] / KT300,
+        "W_naive_f32_kT": results["naive"] / KT300,
+        "W_f64_replay_kT": W64 / KT300,
+        "abs_err_kahan_vs_f64_kT": abs(results["kahan"] - W64) / KT300,
+        "abs_err_naive_vs_f64_kT": abs(results["naive"] - W64) / KT300,
+        "kahan_vs_naive_kT": abs(results["kahan"] - results["naive"]) / KT300,
+        "e_initial_f32": e_init_f32,
+        "e_final_f32": e_final_f32,
+        "device": str(jax.devices()[0]),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    log(f"# wrote {args.out}")
+    print(json.dumps({k: artifact[k] for k in (
+        "W_kahan_f32_kT", "W_naive_f32_kT", "W_f64_replay_kT",
+        "abs_err_kahan_vs_f64_kT", "abs_err_naive_vs_f64_kT")}))
+
+
+if __name__ == "__main__":
+    main()
