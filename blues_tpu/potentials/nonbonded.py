@@ -839,8 +839,8 @@ def _make_pair_backend_energy(
     else:
         pair_sum = make_tiled_pair_sum(feats, col_idx=col_idx, **common)
 
-    excl = np.asarray(nb.exclusions, np.int64).reshape(-1, 2)
-    exc_idx = np.asarray(nb.exceptions_idx, np.int64).reshape(-1, 2)
+    excl_all = np.asarray(nb.exclusions, np.int64).reshape(-1, 2)
+    exc_idx_all = np.asarray(nb.exceptions_idx, np.int64).reshape(-1, 2)
     sigmas = np.asarray(nb.sigma, np.float64)
     epsilons = np.asarray(nb.epsilon, np.float64)
     ke = units.ONE_4PI_EPS0
@@ -848,7 +848,56 @@ def _make_pair_backend_energy(
     q_std_np = charges * (1.0 - is_alch)
     q_alch_np = charges * is_alch
 
-    # precomputed per-exclusion-pair parameters
+    # --- compile-time exclusion/exception filtering (frozen systems) --------
+    # A frozen production system has ~35k exclusions but only a few hundred
+    # involve a mobile atom. Computing all of them and masking afterwards
+    # dominated the per-step cost at 64 replicas (gathers over (R, 35k)
+    # were ~6.7 of the 8.1 ms "rest" time — profiled r3). So:
+    #   * the direct-space exclusion subtraction and the 1-4 exceptions run
+    #     over the mobile-involving subset only (frozen-frozen pairs were
+    #     never computed by the row-compacted pair sum / are intentionally
+    #     dropped constants, matching the frozen-PE-offset convention);
+    #   * the PME erf exclusion correction — which must cover ALL excluded
+    #     pairs because the reciprocal sum includes every charge — gets its
+    #     frozen-frozen part precomputed into a CONSTANT at build time
+    #     (fixed positions, non-alchemical charges, fixed box: the frozen +
+    #     barostat combination is rejected by the driver).
+    excl_ff_const = 0.0
+    if masses is not None and (np.asarray(masses) <= 0).any():
+        live_x = in_rows_np[excl_all[:, 0]] | in_rows_np[excl_all[:, 1]]
+        live_e = in_rows_np[exc_idx_all[:, 0]] | in_rows_np[exc_idx_all[:, 1]]
+        excl = excl_all[live_x]
+        exc_idx = exc_idx_all[live_e]
+        exc_param_keep = live_e
+        if method == PME and frozen_ref_positions is not None and len(excl_all):
+            from scipy.special import erf as _erf
+
+            ff = excl_all[~live_x]
+            if len(ff):
+                x0f = np.asarray(frozen_ref_positions, np.float64)
+                d = x0f[ff[:, 0]] - x0f[ff[:, 1]]
+                if periodic and box_for_pme is not None:
+                    Lff = np.diag(np.asarray(box_for_pme, np.float64))
+                    d -= Lff * np.round(d / Lff)
+                rff = np.linalg.norm(d, axis=1)
+                # frozen atoms are never alchemical -> raw charges under
+                # every treatment
+                qqff = charges[ff[:, 0]] * charges[ff[:, 1]]
+                if pme_params is not None:
+                    excl_ff_const = -float(
+                        ke * np.sum(qqff * _erf(pme_params.alpha * rff) / rff)
+                    )
+        elif method == PME and len(excl_all) and (~live_x).any():
+            # no reference positions to fold the frozen-frozen erf terms
+            # into a constant: keep the full list (correctness first)
+            excl = excl_all
+            exc_idx = exc_idx_all[live_e]
+    else:
+        excl = excl_all
+        exc_idx = exc_idx_all
+        exc_param_keep = None
+
+    # precomputed per-exclusion-pair parameters (on the live subset)
     if len(excl):
         x_sig = 0.5 * (sigmas[excl[:, 0]] + sigmas[excl[:, 1]])
         x_eps = np.sqrt(epsilons[excl[:, 0]] * epsilons[excl[:, 1]])
@@ -930,9 +979,16 @@ def _make_pair_backend_energy(
             aa_e = ai & aj
             s_ster = jnp.asarray(na_e | (aa_e & sc.annihilate_sterics))
             s_elec = jnp.asarray(na_e | (aa_e & sc.annihilate_electrostatics))
-            sig_e = jnp.asarray(nb.exceptions_sigma, dtype)
-            eps_e = jnp.asarray(nb.exceptions_epsilon, dtype)
-            qq_e = jnp.asarray(nb.exceptions_chargeprod, dtype)
+            exc_sig_np = np.asarray(nb.exceptions_sigma, np.float64)
+            exc_eps_np = np.asarray(nb.exceptions_epsilon, np.float64)
+            exc_qq_np = np.asarray(nb.exceptions_chargeprod, np.float64)
+            if exc_param_keep is not None:
+                exc_sig_np = exc_sig_np[exc_param_keep]
+                exc_eps_np = exc_eps_np[exc_param_keep]
+                exc_qq_np = exc_qq_np[exc_param_keep]
+            sig_e = jnp.asarray(exc_sig_np, dtype)
+            eps_e = jnp.asarray(exc_eps_np, dtype)
+            qq_e = jnp.asarray(exc_qq_np, dtype)
             lj_e = jnp.where(
                 s_ster,
                 softcore_lj_energy_pair(re2, sig_e, eps_e, lam_s, sc.softcore_alpha, sc.softcore_a, sc.softcore_b),
@@ -940,11 +996,9 @@ def _make_pair_backend_energy(
             )
             el_e = ke * qq_e / re
             el_e = jnp.where(s_elec, lam_e * el_e, el_e)
-            # frozen-frozen exceptions are constants, dropped like their pairs
-            exc_included = in_rows_np[exc_idx[:, 0]] | in_rows_np[exc_idx[:, 1]]
-            e_total = e_total + jnp.sum(
-                jnp.where(jnp.asarray(exc_included), lj_e + el_e, 0.0)
-            )
+            # frozen-frozen exceptions were filtered out at build time
+            # (constants, dropped like their pairs)
+            e_total = e_total + jnp.sum(lj_e + el_e)
 
         if method == PME:
             if exact and alchemical is not None:
@@ -973,6 +1027,11 @@ def _make_pair_backend_energy(
                 rx = distance(drx)
                 qq_x = q_eff[excl[:, 0]] * q_eff[excl[:, 1]]
                 e_total = e_total - jnp.sum(ke * qq_x * jax.lax.erf(alpha * rx) / rx)
+            # frozen-frozen erf corrections, folded into a build-time
+            # constant (the reciprocal sum includes every charge, so these
+            # pairs DO need correcting — but their positions never change)
+            if excl_ff_const:
+                e_total = e_total + excl_ff_const
         if disp_coeff:
             vol = box[0, 0] * box[1, 1] * box[2, 2]
             e_total = e_total + disp_coeff / vol

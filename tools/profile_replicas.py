@@ -36,17 +36,26 @@ def log(msg):
 
 
 def timed_scan(fn, args, length=10, n_rep=5, vmap_axes=None):
-    """Time fn under jit(scan) with a non-foldable accumulator. Returns
-    ms per inner call (aggregate across the batch if vmapped)."""
+    """Time fn under jit(scan) with a LOOP-CARRIED input perturbation.
+
+    The first positional arg is perturbed by 1e-30 * carry each iteration —
+    without this, loop-invariant args let XLA hoist the entire body out of
+    the scan and the 'per-call' time measures only launch overhead (this
+    bug made the r2-era component numbers meaningless lower bounds).
+    Returns ms per inner call (aggregate across the batch if vmapped)."""
     if vmap_axes is not None:
         fn = jax.vmap(fn, in_axes=vmap_axes)
 
     @jax.jit
     def scanned(*a):
         def body(c, _):
-            out = fn(*a)
+            out = fn(a[0] + 1e-30 * c, *a[1:])
             leaves = [l for l in jax.tree_util.tree_leaves(out)]
-            bump = sum(jnp.sum(l.astype(jnp.float32)) * 1e-30 for l in leaves)
+            bump = sum(
+                jnp.sum(l.astype(jnp.float32)) * 1e-30
+                for l in leaves
+                if jnp.issubdtype(l.dtype, jnp.floating)
+            )
             return c + bump, None
 
         return jax.lax.scan(body, jnp.zeros(()), None, length=length)[0]
@@ -169,6 +178,19 @@ def main():
         row["pair_EF_ms"] = timed_scan(pair_ef, (xa,), vmap_axes=(0,) if vx == 0 else None)
         row["rest_EF_ms"] = timed_scan(rest_ef, (xa,), vmap_axes=(0,) if vx == 0 else None)
         row["recip_EF_ms"] = timed_scan(recip_ef, (xa,), vmap_axes=(0,) if vx == 0 else None)
+        row["recip_E_ms"] = timed_scan(
+            lambda xx: recip(xx, q_eff, box), (xa,),
+            vmap_axes=(0,) if vx == 0 else None,
+        )
+        # raw batched FFT cost at this grid (the reciprocal's core op)
+        Kx, Ky, Kz = nb.pme_params.grid
+        grid_shape = ((R,) if R > 1 else ()) + (Kx, Ky, Kz)
+        garr = jnp.ones(grid_shape, jnp.float32)
+        row["fft_ms"] = timed_scan(
+            lambda g_: jnp.sum(jnp.abs(jnp.fft.rfftn(g_, axes=(-3, -2, -1)))),
+            (garr,),
+        )
+        # one full BAOAB-machinery micro-step (real kick/drift/ou + 2 evals)
         row["constraints_ms"] = timed_scan(
             constraints_only, (xa, va), vmap_axes=(0, 0) if vx == 0 else None
         )
