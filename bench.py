@@ -34,6 +34,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -50,6 +51,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 OPENMM_CPU_BASELINE_STEPS_PER_SEC = 15.0
 N_ATOMS = 22340
 NSTEPS_NC = 50
+#: f32 peak assumed for the MFU estimate (TPU v5e: 197 TFLOP/s bf16; f32
+#: through the MXU at roughly half). The kernels run f32.
+PEAK_F32_TFLOPS = 98.5
 
 
 def log(msg):
@@ -71,9 +75,15 @@ def build_flagship():
     return system, x0, flavor
 
 
-def ncmc_protocol_sps(system, x0, backend, n_rep=3, replicas=64, minimize_steps=400):
-    """Compile + time the 50-step NCMC switching protocol. Returns
-    (single-replica steps/s, aggregate batched steps/s)."""
+def ncmc_protocol_sps(
+    system, x0, backend, n_rep=3, replicas=(64,), minimize_steps=400,
+    dt=0.004, cutoff=1.0,
+):
+    """Compile + time the 50-step NCMC switching protocol at the reference
+    PRODUCTION shape: dt = 4 fs (callers pass HMR-repartitioned masses),
+    PME cutoff 10 A, ewaldErrorTolerance 0.005
+    (reference examples/rotmove_cuda.yml:25-26,47-67). Returns
+    (single-replica steps/s, {R: aggregate steps/s}, flops_per_step)."""
     from blues_tpu.core.state import maxwell_boltzmann_velocities
     from blues_tpu.integrators.constraints import make_constraint_fns
     from blues_tpu.integrators.langevin import LangevinParams
@@ -84,10 +94,8 @@ def ncmc_protocol_sps(system, x0, backend, n_rep=3, replicas=64, minimize_steps=
     from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
 
     lig = system.topology.select_resname("LIG")
-    # ewaldErrorTolerance 0.005 matches the reference production protocol
-    # (examples/rotmove_cuda.yml:26)
     efn = make_energy_fn(
-        system, nonbonded_method="PME", cutoff=0.9, ewald_tolerance=0.005,
+        system, nonbonded_method="PME", cutoff=cutoff, ewald_tolerance=0.005,
         nonbonded_backend=backend,
     )
     ffn = make_force_fn(efn)
@@ -99,13 +107,37 @@ def ncmc_protocol_sps(system, x0, backend, n_rep=3, replicas=64, minimize_steps=
             lambda x: minimize_fire(ffn, system.masses, x, box, n_steps=minimize_steps, constrain_x=cx)
         )(x)
 
-    params = LangevinParams(dt=0.002, friction=1.0, temperature=300.0)
+    params = LangevinParams(dt=dt, friction=1.0, temperature=300.0)
     schedule = build_ncmc_schedule(NSTEPS_NC)
     move = RandomLigandRotationMove(lig, system.masses)
     protocol = make_ncmc_protocol(
         efn, ffn, system.masses, params, cx, cv, schedule, move=move
     )
     protocol_j = jax.jit(protocol)
+
+    # per-micro-step useful-flop estimate for the MFU line: pair-kernel
+    # slots (~60 flops each; lambda-split -> one full pass + two tiny
+    # alchemical passes, else two full passes) + PME (spread + batched FFT)
+    split = getattr(efn, "lambda_e0_f0", None) is not None
+    nb = efn.nonbonded
+    n = system.n_atoms
+    n_alch = len(system.alchemical.atoms) if system.alchemical is not None else 0
+    if nb.cull_info is not None:
+        ncols = nb.cull_info[0]
+    else:
+        ncols = n
+    nrows = int((np.asarray(system.masses) > 0).sum()) if (np.asarray(system.masses) <= 0).any() else n
+    pad = lambda v, t: ((v + t - 1) // t) * t
+    full_slots = pad(nrows, 128) * pad(ncols, 256)
+    ea_slots = n_alch * ncols
+    pair_flops = 60 * ((full_slots + 2 * ea_slots) if split else 2 * full_slots)
+    Kx, Ky, Kz = nb.pme_params.grid
+    kpts = Kx * Ky * Kz
+    n_spread = nrows + n_alch
+    pme_flops = (1 if split else 2) * (
+        2 * n_spread * (nb.pme_params.order ** 3) * 8 + 2 * 5 * kpts * math.log2(max(kpts, 2))
+    )
+    flops_per_step = float(pair_flops + pme_flops)
 
     key = jax.random.PRNGKey(0)
     kv, kp = jax.random.split(key)
@@ -119,11 +151,13 @@ def ncmc_protocol_sps(system, x0, backend, n_rep=3, replicas=64, minimize_steps=
     jax.block_until_ready(res.positions)
     single_sps = n_rep * schedule.n_micro / (time.time() - t0)
 
-    agg_sps = 0.0
-    if replicas > 1:
+    agg = {}
+    for R in replicas:
+        if R <= 1:
+            continue
         vprot = jax.jit(jax.vmap(protocol, in_axes=(0, 0, None, 0)))
-        xs = jnp.broadcast_to(x, (replicas,) + x.shape)
-        keys = jax.random.split(kp, replicas)
+        xs = jnp.broadcast_to(x, (R,) + x.shape)
+        keys = jax.random.split(kp, R)
         vs = jax.vmap(
             lambda k: maxwell_boltzmann_velocities(k, system.masses, 300.0)
         )(keys)
@@ -134,8 +168,9 @@ def ncmc_protocol_sps(system, x0, backend, n_rep=3, replicas=64, minimize_steps=
             keys_i = jax.vmap(lambda k: jax.random.fold_in(k, i + 1))(keys)
             r = vprot(xs, vs, box, keys_i)
             jax.block_until_ready(r.positions)
-        agg_sps = 2 * replicas * schedule.n_micro / (time.time() - t0)
-    return single_sps, agg_sps
+        agg[R] = 2 * R * schedule.n_micro / (time.time() - t0)
+        log(f"#   R={R}: {agg[R]:.1f} aggregate sps")
+    return single_sps, agg, flops_per_step
 
 
 def unfrozen_eval_ms(system, x0, backend, n_rep=10):
@@ -223,10 +258,12 @@ def watdivaline_sps():
     val = system.topology.select_resname("VAL")
     system = system.replace(alchemical=AlchemicalRegion(atoms=val[:16]))
     # real-prmtop datum, unfrozen: route through the tiled/pallas kernel
-    # (the dense path materializes N^2 arrays and is HBM-bound on TPU)
+    # (the dense path materializes N^2 arrays and is HBM-bound on TPU).
+    # cutoff 0.9 nm (the 29.6 A box caps the production 10 A cutoff)
     backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
-    single, _ = ncmc_protocol_sps(
-        system, crd.positions, backend, n_rep=3, replicas=1, minimize_steps=800
+    single, _, _ = ncmc_protocol_sps(
+        system, crd.positions, backend, n_rep=3, replicas=(),
+        minimize_steps=800, dt=0.002, cutoff=0.9,
     )
     return single
 
@@ -243,15 +280,44 @@ def main():
     # so the kernels compute mobile rows only
     import warnings
 
+    # HMR 3.024 Da over the full bond graph (H bonds live in the constraint
+    # list after HBonds conversion) enables the reference's 4 fs production
+    # timestep (rotmove_cuda.yml:25)
+    from blues_tpu.core.prmtop import repartition_hydrogen_masses
+
+    bond_graph = np.concatenate(
+        [
+            np.asarray(e.idx).reshape(-1, 2)
+            for e in (system.bonds, system.constraints)
+            if len(e)
+        ]
+    )
+    system = system.replace(
+        masses=repartition_hydrogen_masses(system.masses, bond_graph, 3.024)
+    )
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         frozen_system = system.freeze_radius(np.asarray(x0), lig, 0.5)
     mobile = int((frozen_system.masses > 0).sum())
     log(f"# flagship: {flavor}; mobile atoms {mobile} / {system.n_atoms}")
+    log("# protocol: PRODUCTION shape — dt 4 fs (HMR 3.024), PME 10 A, tol 0.005")
 
-    single_sps, agg_sps = ncmc_protocol_sps(frozen_system, x0, backend)
-    steps_per_sec = max(single_sps, agg_sps)
-    log(f"# frozen protocol: single {single_sps:.1f}, aggregate(64 replicas) {agg_sps:.1f} sps")
+    single_sps, agg, flops_per_step = ncmc_protocol_sps(
+        frozen_system, x0, backend, replicas=(64, 256)
+    )
+    agg64 = agg.get(64, 0.0)
+    agg_best_R = max(agg, key=agg.get) if agg else 1
+    agg_best = agg.get(agg_best_R, single_sps)
+    steps_per_sec = max(single_sps, agg_best)
+    log(
+        f"# frozen protocol: single {single_sps:.1f}, aggregate "
+        f"{ {k: round(v, 1) for k, v in agg.items()} } sps"
+    )
+    # MFU: useful physics flops per switching step (pair-kernel slots + PME
+    # spread/FFT; see ncmc_protocol_sps) over the f32 peak — honest about
+    # how little of the chip a 121-mobile-atom protocol can use
+    mfu_pct = 100.0 * steps_per_sec * flops_per_step / (PEAK_F32_TFLOPS * 1e12)
+    log(f"# flops/step ~{flops_per_step / 1e6:.1f} MF, MFU ~{mfu_pct:.3f}% of {PEAK_F32_TFLOPS} TFLOP/s f32")
 
     # unfrozen full-system eval: O(N^2) kernel vs O(N) cell list
     evals = {}
@@ -283,15 +349,36 @@ def main():
                 "value": round(steps_per_sec, 2),
                 "n_atoms": system.n_atoms,
                 "mobile_atoms": mobile,
-                "protocol": f"{flavor}; freeze>5A+solvent production config, PME 9A, softcore NCMC",
+                "protocol": (
+                    f"{flavor}; freeze>5A+solvent PRODUCTION config: dt 4fs "
+                    "HMR 3.024, PME 10A tol 0.005, softcore NCMC "
+                    "(rotmove_cuda.yml:25-26,47-67 shape)"
+                ),
                 "single_replica_steps_per_sec": round(single_sps, 2),
-                "aggregate_64_replicas_steps_per_sec": round(agg_sps, 2),
+                "aggregate_64_replicas_steps_per_sec": round(agg64, 2),
+                "aggregate_best": {
+                    "replicas": agg_best_R,
+                    "steps_per_sec": round(agg_best, 2),
+                },
+                "mfu_pct": round(mfu_pct, 4),
+                "mfu_note": (
+                    f"useful physics flops (~{flops_per_step / 1e6:.0f} MF/step: "
+                    "pair-kernel slots + PME spread/FFT) over an assumed "
+                    f"{PEAK_F32_TFLOPS} TFLOP/s f32 peak; the 121-mobile-atom "
+                    "frozen protocol is latency/bandwidth-bound, not compute-bound"
+                ),
                 "unfrozen_eval_ms": evals,
                 "unfrozen_md_step_ms": round(md_ms, 2) if md_ms else None,
                 "watdivaline_steps_per_sec": round(wd_sps, 2) if wd_sps else None,
                 "unit": "switching_steps/s",
                 "vs_baseline": round(steps_per_sec / OPENMM_CPU_BASELINE_STEPS_PER_SEC, 2),
                 "baseline_note": "denominator is an OpenMM-CPU estimate (OpenMM not installable here), not a measurement",
+                "protocol_change_note": (
+                    "r3 bench runs the true production protocol (4 fs HMR, "
+                    "10 A cutoff) vs r2's 2 fs / 9 A; the heavier cutoff "
+                    "raises per-step cost, so sps are not directly "
+                    "comparable to BENCH_r02"
+                ),
             }
         )
     )

@@ -78,6 +78,7 @@ def make_ncmc_protocol(
     splitting: str = "H V R O R V H",
     naive_accumulation: bool = False,
     stream_atoms=None,
+    lambda_split: bool = None,
 ):
     """Build protocol_fn(x, v, box, key) -> NCMCResult.
 
@@ -100,6 +101,16 @@ def make_ncmc_protocol(
     replay can recompute the EXACT work of the f32 trajectory
     (tools/work_precision_replay.py; SURVEY.md 7.3.5). Intended for frozen
     systems where S = mobile atoms keeps the stream small.
+
+    ``lambda_split``: use the E(x, lam) = E0(x) + Ea(x, lam) decomposition
+    when ``energy_fn`` exposes it (potentials/energy.py). The micro-step's
+    opening force eval is at the SAME positions as the previous step's
+    closing eval — only lambda changed — so the cached lambda-independent
+    (E0, F0) is reused and only the tiny alchemical part Ea re-evaluates:
+    one full kernel pass per micro step instead of two (~2x on frozen
+    production protocols). Work increments become Ea differences at fixed
+    x — algebraically identical (E0 cancels) and numerically better
+    conditioned in f32 (no large-E0 cancellation). None = auto-detect.
     """
     m = make_baoab_machinery(masses, params, constrain_x, constrain_v)
     kT = units.kT(params.temperature)
@@ -135,6 +146,44 @@ def make_ncmc_protocol(
     stream_idx = (
         None if stream_atoms is None else jnp.asarray(np.asarray(stream_atoms, np.int64))
     )
+
+    e0f0 = getattr(energy_fn, "lambda_e0_f0", None)
+    eafa = getattr(energy_fn, "lambda_ea_fa", None)
+    use_split = (lambda_split is not False) and e0f0 is not None and eafa is not None
+    if lambda_split is True and not use_split:
+        raise ValueError(
+            "lambda_split requested but energy_fn exposes no lambda_e0_f0/"
+            "lambda_ea_fa decomposition (potentials/energy.py)"
+        )
+
+    def micro_step_split(carry, g):
+        """Split micro step: the opening force reuses the cached
+        lambda-independent (E0, F0) from the previous step's closing eval
+        (same positions, only lambda changed); only Ea re-evaluates."""
+        x, v, key, work, ea_cache, e0_x, f0_x, box = carry
+        ea, fa = eafa(x, box, g)
+        work = work.add(ea - ea_cache)
+        f = f0_x + fa
+        f_fresh = True
+        for t in tokens:
+            if t == "V":
+                if not f_fresh:
+                    e0_x, f0_x = e0f0(x, box)
+                    ea, fa = eafa(x, box, g)
+                    f = f0_x + fa
+                    f_fresh = True
+                v = m["kick"](v, f, h_V, x)
+            elif t == "R":
+                x, v = m["drift"](x, v, h_R)
+                f_fresh = False
+            else:  # O
+                key, okey = jax.random.split(key)
+                v = m["ou_partial"](v, okey, x, h_O)
+        if not f_fresh:
+            e0_x, f0_x = e0f0(x, box)
+            ea, fa = eafa(x, box, g)
+        y = None if stream_idx is None else x[stream_idx]
+        return (x, v, key, work, ea, e0_x, f0_x, box), y
 
     def micro_step(carry, g):
         x, v, key, work, e_cache, box = carry
@@ -183,13 +232,19 @@ def make_ncmc_protocol(
         else:
             aux = None
 
-        e0 = energy_fn(x, box, g_initial)
         # naive_accumulation exists to MEASURE the f32 accumulation error
         # Kahan removes (SURVEY.md 7.3.5); production always uses Kahan
         acc_cls = NaiveAccumulator if naive_accumulation else KahanAccumulator
         work = acc_cls.zeros(dtype)
         mid_positions, mid_work = x, work.value
-        carry = (x, v, key, work, e0, box)
+        if use_split:
+            ea_init, _ = eafa(x, box, g_initial)
+            e0x, f0x = e0f0(x, box)
+            e0 = e0x + ea_init  # full initial energy, split-consistent
+            carry = (x, v, key, work, ea_init, e0x, f0x, box)
+        else:
+            e0 = energy_fn(x, box, g_initial)
+            carry = (x, v, key, work, e0, box)
         snaps, snap_works = [], []
 
         def apply_move(carry):
@@ -198,6 +253,18 @@ def make_ncmc_protocol(
             # counted via perturbed_pe - unperturbed_pe at the top of the
             # next step, blues/simulation.py:1074-1079 +
             # blues/integrators.py:183-191)
+            if use_split:
+                x, v, key, work, ea_cache, e0_x, f0_x, box = carry
+                ea_b, _ = eafa(x, box, g_pre)
+                work = work.add(ea_b - ea_cache)  # lambda jump (E0 cancels)
+                key, mkey = jax.random.split(key)
+                x_new, aux2 = move.propose(mkey, x, box, aux)
+                e0_n, f0_n = e0f0(x_new, box)
+                ea_b2, _ = eafa(x_new, box, g_pre)
+                # external (move) work: full energy difference across the
+                # position change
+                work = work.add((e0_n + ea_b2) - (e0_x + ea_b))
+                return (x_new, v, key, work, ea_b2, e0_n, f0_n, box), aux2
             x, v, key, work, e_cache, box = carry
             e_b = energy_fn(x, box, g_pre)
             work = work.add(e_b - e_cache)  # lambda transition at fixed x
@@ -216,10 +283,11 @@ def make_ncmc_protocol(
 
         prev = 0
         stream_segs = []
+        step_fn = micro_step_split if use_split else micro_step
         for p in boundaries:
             if p > prev:
                 xs = _stack_schedule(schedule, prev, p, dtype)
-                carry, ys = jax.lax.scan(micro_step, carry, xs)
+                carry, ys = jax.lax.scan(step_fn, carry, xs)
                 if stream_idx is not None:
                     stream_segs.append(ys)
             prev = p
@@ -229,11 +297,17 @@ def make_ncmc_protocol(
             if p in rec_set and p < schedule.n_micro:
                 snaps.append(carry[0])
                 snap_works.append(carry[3].value)
-        x, v, key, work, e_cache, box = carry
 
         # closing lambda transition to master lambda = 1
-        e_final = energy_fn(x, box, g_final)
-        work = work.add(e_final - e_cache)
+        if use_split:
+            x, v, key, work, ea_cache, e0_x, f0_x, box = carry
+            ea_fin, _ = eafa(x, box, g_final)
+            work = work.add(ea_fin - ea_cache)
+            e_final = e0_x + ea_fin
+        else:
+            x, v, key, work, e_cache, box = carry
+            e_final = energy_fn(x, box, g_final)
+            work = work.add(e_final - e_cache)
         if schedule.n_micro in rec_set:
             snaps.append(x)
             snap_works.append(work.value)

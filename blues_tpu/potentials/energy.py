@@ -124,6 +124,36 @@ def make_energy_fn(
         energy_fn.force_with_nlist = force_with_nlist
         energy_fn.nlist_skin = pair_sum.skin
     energy_fn.nonbonded = nb_fn
+
+    # lambda-split (NCMC accelerator): E(x, lam) = E0(x) + Ea(x, lam) with
+    # every lambda-independent term — including ALL bonded terms — in E0.
+    # Disabled when custom pair potentials exist (they may read lambda
+    # globals, e.g. the ethylene test force). See potentials/nonbonded.py.
+    if (
+        nb_fn is not None
+        and getattr(nb_fn, "lambda_e0", None) is not None
+        and not system.custom_pairs
+    ):
+
+        def _e0_total(positions, box=None):
+            e = nb_fn.lambda_e0(positions, box)
+            for t in bonded_terms:
+                e = e + t(positions, box, None)
+            return e
+
+        _e0_vg = jax.value_and_grad(_e0_total)
+        _ea_vg = jax.value_and_grad(nb_fn.lambda_ea)
+
+        def lambda_e0_f0(positions, box=None):
+            e, g = _e0_vg(positions, box)
+            return e, -g
+
+        def lambda_ea_fa(positions, box=None, globals_=None):
+            e, g = _ea_vg(positions, box, globals_)
+            return e, -g
+
+        energy_fn.lambda_e0_f0 = lambda_e0_f0
+        energy_fn.lambda_ea_fa = lambda_ea_fa
     return energy_fn
 
 

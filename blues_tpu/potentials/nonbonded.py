@@ -1037,6 +1037,312 @@ def _make_pair_backend_energy(
             e_total = e_total + disp_coeff / vol
         return e_total
 
+    # --- lambda-split decomposition (NCMC hot-loop accelerator) -------------
+    # E(x, lam) = E0(x) + Ea(x, lam): E0 holds every lambda-INDEPENDENT term
+    # (non-alchemical pair sum, PME reciprocal/self/plasma with q_std,
+    # non-alchemical corrections), Ea the alchemical-involving pairs and
+    # corrections. The NCMC micro-step's opening force eval is at the SAME
+    # positions as the previous step's closing eval — only lambda changed —
+    # so a split-aware integrator caches (E0, F0) and recomputes only the
+    # tiny Ea (|alch| rows) per lambda value: ~2x fewer full kernel passes
+    # (integrators/ncmc.py). Work increments become Ea differences, which
+    # also removes the large-E0 f32 cancellation from the accumulation.
+    # Valid when the reciprocal charges are lambda-independent
+    # ('direct-space' and 'coulomb' treatments; 'exact' scales charges).
+    lambda_e0 = None
+    lambda_ea = None
+    alch_atoms_np = (
+        np.asarray(alchemical.atoms, np.int64)
+        if (alchemical is not None and len(alchemical.atoms))
+        else np.zeros(0, np.int64)
+    )
+    if (
+        len(alch_atoms_np)
+        and len(alch_atoms_np) <= 512
+        and not exact
+        and backend in ("pallas", "tiled")
+    ):
+        from .geometry import periodic_displacement as _pdisp
+
+        cols_full = (
+            np.asarray(col_idx, np.int64) if col_idx is not None else np.arange(n, dtype=np.int64)
+        )
+        alch_set = set(alch_atoms_np.tolist())
+        cols_na = np.asarray(
+            [c for c in cols_full if c not in alch_set], np.int64
+        )
+        rows_full = (
+            np.asarray(active_rows, np.int64)
+            if active_rows is not None
+            else np.arange(n, dtype=np.int64)
+        )
+        rows0 = np.asarray([r for r in rows_full if r not in alch_set], np.int64)
+        if len(rows0) == 0:
+            # every mobile atom is alchemical: E0's pair sum is empty and
+            # the split degenerates — Ea covers everything already
+            pair_sum0 = None
+        else:
+            feats0 = build_pair_features(
+                charges, nb.sigma, nb.epsilon, np.zeros(n, bool), rows0
+            )
+            common0 = dict(common)
+            if backend == "pallas":
+                from .pallas.pair_kernel import make_pallas_pair_sum as _mk0
+
+                pair_sum0 = _mk0(feats0, col_idx=cols_na, **common0)
+            else:
+                pair_sum0 = make_tiled_pair_sum(feats0, col_idx=cols_na, **common0)
+
+        # static gathered features for the alchemical blocks
+        a_q = charges[alch_atoms_np]
+        a_sig = sigmas[alch_atoms_np]
+        a_eps = epsilons[alch_atoms_np]
+        c_q = q_std_np[cols_na]
+        c_sig = sigmas[cols_na]
+        c_eps = epsilons[cols_na]
+        aiu, aju = np.triu_indices(len(alch_atoms_np), k=1)
+        aa_scale = bool(sc.annihilate_sterics)
+        alch_j = jnp.asarray(alch_atoms_np)
+        cols_na_j = jnp.asarray(cols_na)
+        # frozen columns of the NA block take no pair force (the kernels
+        # compute row-only forces; frozen atoms never move) — grad is cut
+        # there so the split reproduces the full path's forces EXACTLY
+        col_frozen_np = (~in_rows_np[cols_na])[:, None]
+
+        # lambda-dependent corrections: the alchemical-involving subset of
+        # the live exclusion/exception lists (same formulas as energy_rest)
+        xa_sel = (
+            (is_alch[excl[:, 0]] | is_alch[excl[:, 1]]) if len(excl) else np.zeros(0, bool)
+        )
+        ea_sel = (
+            (is_alch[exc_idx[:, 0]] | is_alch[exc_idx[:, 1]])
+            if len(exc_idx)
+            else np.zeros(0, bool)
+        )
+        excl_a = excl[xa_sel] if len(excl) else excl
+        exc_a = exc_idx[ea_sel] if len(exc_idx) else exc_idx
+
+        def lambda_ea(positions, box=None, globals_=None):
+            """Alchemical part Ea(x, lambda): alch-row pair blocks + the
+            alchemical-involving exclusion/exception corrections. Forces
+            come from jax.grad (the blocks are tiny)."""
+            dtype = positions.dtype
+            g = globals_ or {}
+            lam_s, f_na, f_aa = pair_factors(g, dtype)
+            lam_e = jnp.asarray(g.get("lambda_electrostatics", 1.0), dtype)
+            e_total = jnp.zeros((), dtype)
+
+            xa = positions[alch_j]
+            # alch x non-alch block (visited once: full weight)
+            if len(cols_na):
+                xc_raw = positions[cols_na_j]
+                xc = jnp.where(
+                    jnp.asarray(col_frozen_np),
+                    jax.lax.stop_gradient(xc_raw),
+                    xc_raw,
+                )
+                dr = xa[:, None, :] - xc[None, :, :]
+                if periodic and box is not None:
+                    dr = _pdisp(dr, box)
+                r2 = jnp.sum(dr * dr, -1)
+                in_cut = r2 < cutoff * cutoff if use_cutoff else jnp.ones_like(r2, bool)
+                r2 = jnp.maximum(r2, 1e-6)
+                e_na, _ = pair_energy_force(
+                    r2,
+                    0.5 * (jnp.asarray(a_sig, dtype)[:, None] + jnp.asarray(c_sig, dtype)[None, :]),
+                    jnp.sqrt(jnp.asarray(a_eps, dtype)[:, None] * jnp.asarray(c_eps, dtype)[None, :]),
+                    jnp.zeros((), dtype),
+                    jnp.asarray(a_q, dtype)[:, None] * jnp.asarray(c_q, dtype)[None, :],
+                    jnp.zeros((), dtype),
+                    jnp.ones((), dtype),
+                    lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
+                    alpha_ewald=alpha, k_rf=k_rf, c_rf=c_rf,
+                    softcore_alpha=sc.softcore_alpha,
+                    switch_distance=switch_distance, cutoff=cutoff,
+                    alch_coulomb=alch_coulomb,
+                )
+                e_total = e_total + jnp.sum(jnp.where(in_cut, e_na, 0.0))
+            # intra-alchemical pairs (upper triangle, once each)
+            if len(aiu):
+                dra = xa[aiu] - xa[aju]
+                if periodic and box is not None:
+                    dra = _pdisp(dra, box)
+                r2a = jnp.sum(dra * dra, -1)
+                in_cut_a = r2a < cutoff * cutoff if use_cutoff else jnp.ones_like(r2a, bool)
+                r2a = jnp.maximum(r2a, 1e-6)
+                e_aa, _ = pair_energy_force(
+                    r2a,
+                    0.5 * jnp.asarray(a_sig[aiu] + a_sig[aju], dtype),
+                    jnp.sqrt(jnp.asarray(a_eps[aiu] * a_eps[aju], dtype)),
+                    jnp.zeros((), dtype),
+                    jnp.zeros((), dtype),
+                    jnp.asarray(a_q[aiu] * a_q[aju], dtype),
+                    jnp.asarray(aa_scale),
+                    lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
+                    alpha_ewald=alpha, k_rf=k_rf, c_rf=c_rf,
+                    softcore_alpha=sc.softcore_alpha,
+                    switch_distance=switch_distance, cutoff=cutoff,
+                    alch_coulomb=alch_coulomb,
+                )
+                e_total = e_total + jnp.sum(jnp.where(in_cut_a, e_aa, 0.0))
+            # subtract alch-involving exclusions (same formula/cutoff rules
+            # as energy_rest)
+            if len(excl_a):
+                drx = positions[excl_a[:, 0]] - positions[excl_a[:, 1]]
+                if periodic and box is not None:
+                    drx = _pdisp(drx, box)
+                r2x = jnp.maximum(jnp.sum(drx * drx, -1), 1e-6)
+                e_x, _ = pair_energy_force(
+                    r2x,
+                    jnp.asarray(x_sig[xa_sel], dtype),
+                    jnp.asarray(x_eps[xa_sel], dtype),
+                    jnp.asarray(x_qq_std[xa_sel], dtype),
+                    jnp.asarray(x_qq_na[xa_sel], dtype),
+                    jnp.asarray(x_qq_aa[xa_sel], dtype),
+                    jnp.asarray(x_scale[xa_sel]),
+                    lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
+                    alpha_ewald=alpha, k_rf=k_rf, c_rf=c_rf,
+                    softcore_alpha=sc.softcore_alpha,
+                    switch_distance=switch_distance, cutoff=cutoff,
+                    alch_coulomb=alch_coulomb,
+                )
+                if use_cutoff:
+                    e_x = jnp.where(r2x < cutoff * cutoff, e_x, 0.0)
+                e_total = e_total - jnp.sum(e_x)
+            # alch-involving 1-4 exceptions (lambda rules as energy_rest)
+            if len(exc_a):
+                dre = positions[exc_a[:, 0]] - positions[exc_a[:, 1]]
+                if periodic and box is not None:
+                    dre = _pdisp(dre, box)
+                re2 = jnp.maximum(jnp.sum(dre * dre, -1), 1e-12)
+                re = jnp.sqrt(re2)
+                ai_e = is_alch[exc_a[:, 0]]
+                aj_e = is_alch[exc_a[:, 1]]
+                na_e = ai_e ^ aj_e
+                aa_e = ai_e & aj_e
+                s_ster = jnp.asarray(na_e | (aa_e & sc.annihilate_sterics))
+                s_elec = jnp.asarray(na_e | (aa_e & sc.annihilate_electrostatics))
+                sig_sub = np.asarray(nb.exceptions_sigma, np.float64)
+                eps_sub = np.asarray(nb.exceptions_epsilon, np.float64)
+                qq_sub = np.asarray(nb.exceptions_chargeprod, np.float64)
+                if exc_param_keep is not None:
+                    sig_sub = sig_sub[exc_param_keep]
+                    eps_sub = eps_sub[exc_param_keep]
+                    qq_sub = qq_sub[exc_param_keep]
+                sig_sub, eps_sub, qq_sub = sig_sub[ea_sel], eps_sub[ea_sel], qq_sub[ea_sel]
+                lj_e = jnp.where(
+                    s_ster,
+                    softcore_lj_energy_pair(
+                        re2, jnp.asarray(sig_sub, dtype), jnp.asarray(eps_sub, dtype),
+                        lam_s, sc.softcore_alpha, sc.softcore_a, sc.softcore_b,
+                    ),
+                    lj_energy_pair(re2, jnp.asarray(sig_sub, dtype), jnp.asarray(eps_sub, dtype)),
+                )
+                el_e = ke * jnp.asarray(qq_sub, dtype) / re
+                el_e = jnp.where(s_elec, lam_e * el_e, el_e)
+                e_total = e_total + jnp.sum(lj_e + el_e)
+            return e_total
+
+        def lambda_e0(positions, box=None):
+            """Lambda-independent part E0(x): the full potential minus
+            lambda_ea (split-consistent by construction: the non-alchemical
+            pair sum + all reciprocal/self/plasma terms + non-alchemical
+            corrections + the culling guard)."""
+            dtype = positions.dtype
+            one = jnp.ones((), dtype)
+            e = (
+                pair_sum0.energy(positions, box, one, one, one)
+                if pair_sum0 is not None
+                else jnp.zeros((), dtype)
+            )
+            if cull_guard is not None:
+                e = e + cull_guard(positions, box)
+            # non-alchemical rest: full rest at lambda=1 minus the
+            # alchemical part at lambda=1 would double-count; instead reuse
+            # energy_rest with the NON-alch subsets by subtracting the
+            # lambda=1 alchemical corrections is fragile — compute directly:
+            e = e + _rest_nonalch(positions, box)
+            return e
+
+        def _rest_nonalch(positions, box):
+            """energy_rest restricted to the non-alchemical correction
+            subset + all reciprocal-space terms (q_std: lambda-independent
+            under the direct-space/'coulomb' treatments)."""
+            dtype = positions.dtype
+            one = jnp.ones((), dtype)
+            e_total = jnp.zeros((), dtype)
+            if len(excl) and (~xa_sel).any():
+                sel = ~xa_sel
+                ex = excl[sel]
+                drx = positions[ex[:, 0]] - positions[ex[:, 1]]
+                if periodic and box is not None:
+                    drx = _pdisp(drx, box)
+                r2x = jnp.maximum(jnp.sum(drx * drx, -1), 1e-6)
+                e_x, _ = pair_energy_force(
+                    r2x,
+                    jnp.asarray(x_sig[sel], dtype),
+                    jnp.asarray(x_eps[sel], dtype),
+                    jnp.asarray(x_qq_std[sel], dtype),
+                    jnp.asarray(x_qq_na[sel], dtype),
+                    jnp.asarray(x_qq_aa[sel], dtype),
+                    jnp.asarray(x_scale[sel]),
+                    lam_sterics=one, f_na=one, f_aa=one, method=method,
+                    alpha_ewald=alpha, k_rf=k_rf, c_rf=c_rf,
+                    softcore_alpha=sc.softcore_alpha,
+                    switch_distance=switch_distance, cutoff=cutoff,
+                    alch_coulomb=alch_coulomb,
+                )
+                if use_cutoff:
+                    e_x = jnp.where(r2x < cutoff * cutoff, e_x, 0.0)
+                e_total = e_total - jnp.sum(e_x)
+            if len(exc_idx) and (~ea_sel).any():
+                sel = ~ea_sel
+                ex = exc_idx[sel]
+                dre = positions[ex[:, 0]] - positions[ex[:, 1]]
+                if periodic and box is not None:
+                    dre = _pdisp(dre, box)
+                re2 = jnp.maximum(jnp.sum(dre * dre, -1), 1e-12)
+                re = jnp.sqrt(re2)
+                sig_sub = np.asarray(nb.exceptions_sigma, np.float64)
+                eps_sub = np.asarray(nb.exceptions_epsilon, np.float64)
+                qq_sub = np.asarray(nb.exceptions_chargeprod, np.float64)
+                if exc_param_keep is not None:
+                    sig_sub = sig_sub[exc_param_keep]
+                    eps_sub = eps_sub[exc_param_keep]
+                    qq_sub = qq_sub[exc_param_keep]
+                sig_sub, eps_sub, qq_sub = sig_sub[sel], eps_sub[sel], qq_sub[sel]
+                lj_e = lj_energy_pair(
+                    re2, jnp.asarray(sig_sub, dtype), jnp.asarray(eps_sub, dtype)
+                )
+                el_e = ke * jnp.asarray(qq_sub, dtype) / re
+                e_total = e_total + jnp.sum(lj_e + el_e)
+            if method == PME:
+                q_eff = jnp.asarray(q_std_np, dtype)
+                rf = recip_fn_frozen if recip_fn_frozen is not None else recip_fn
+                if recip_fn_frozen is not None:
+                    box0_j = jnp.asarray(np.asarray(box_for_pme), dtype)
+                    mismatch = jax.lax.stop_gradient(
+                        jnp.max(jnp.abs(box - box0_j)) > 1e-5
+                    )
+                    e_total = e_total + jnp.where(mismatch, jnp.nan, 0.0)
+                e_total = e_total + rf(positions, q_eff, box)
+                e_total = e_total - ke * alpha / math.sqrt(math.pi) * jnp.sum(q_eff * q_eff)
+                vol = box[0, 0] * box[1, 1] * box[2, 2]
+                qtot = jnp.sum(q_eff)
+                e_total = e_total - ke * math.pi / (2.0 * alpha * alpha) * qtot * qtot / vol
+                if len(excl):
+                    drx = positions[excl[:, 0]] - positions[excl[:, 1]]
+                    drx = periodic_displacement(drx, box)
+                    rx = distance(drx)
+                    qq_x = q_eff[excl[:, 0]] * q_eff[excl[:, 1]]
+                    e_total = e_total - jnp.sum(ke * qq_x * jax.lax.erf(alpha * rx) / rx)
+                if excl_ff_const:
+                    e_total = e_total + excl_ff_const
+            if disp_coeff:
+                vol = box[0, 0] * box[1, 1] * box[2, 2]
+                e_total = e_total + disp_coeff / vol
+            return e_total
+
     def energy(positions, box=None, globals_=None):
         dtype = positions.dtype
         lam_s, f_na, f_aa = pair_factors(globals_, dtype)
@@ -1046,6 +1352,10 @@ def _make_pair_backend_energy(
         return e_total + energy_rest(positions, box, globals_)
 
     energy.pme_params = pme_params
+    #: lambda-split pieces (E = lambda_e0(x) + lambda_ea(x, lam)); None when
+    #: the decomposition does not apply (see block above)
+    energy.lambda_e0 = lambda_e0
+    energy.lambda_ea = lambda_ea
     #: (n_culled_columns, n_atoms) when column culling engaged, else None
     energy.cull_info = (len(col_idx), n) if col_idx is not None else None
     #: (row_atom_ids, ball_centers, ball_radii) of the culling guard

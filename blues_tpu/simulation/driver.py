@@ -84,6 +84,10 @@ class SimulationConfig:
     #: sentinels (0.5 -> moveStep, -1 -> last step; blues/settings.py:271-277).
     #: None = the default (0, moveStep, nstepsNC) protocol start/mid/end.
     ncmc_frame_indices: Optional[tuple] = None
+    #: E(x, lam) = E0(x) + Ea(x, lam) micro-step caching (~2x on frozen
+    #: production protocols; integrators/ncmc.py). None = auto when the
+    #: energy function exposes the decomposition; False disables.
+    lambda_split: Optional[bool] = None
 
 
 @pytree_dataclass
@@ -196,6 +200,7 @@ class BLUESSimulation:
             move=move,
             record_micro=record_micro,
             splitting=config.splitting,
+            lambda_split=config.lambda_split,
         )
         self._md_step = make_md_step(
             self.force_md, system.masses, lp, constrain_x, constrain_v
