@@ -1109,8 +1109,15 @@ def _make_pair_backend_energy(
         # there so the split reproduces the full path's forces EXACTLY
         col_frozen_np = (~in_rows_np[cols_na])[:, None]
 
-        # lambda-dependent corrections: the alchemical-involving subset of
-        # the live exclusion/exception lists (same formulas as energy_rest)
+        # Alchemical-involving exclusions are removed from the pair blocks
+        # AT BUILD TIME instead of being computed at full bonded-distance
+        # magnitude and subtracted afterwards: that compute-then-subtract
+        # cancels exactly in f64 but catastrophically in f32 — the partial
+        # sums pass through ~1e6 kJ/mol (LJ at r~0.1 nm) on their way to a
+        # ~1e1 kJ/mol Ea, and the ~0.1-0.4 kJ/mol rounding residue lands
+        # directly in EVERY NCMC lambda work increment
+        # (tools/diag_wp_increments.py measured it). The 1-4 exceptions keep
+        # their own-parameter term below (small magnitudes at r~0.25 nm).
         xa_sel = (
             (is_alch[excl[:, 0]] | is_alch[excl[:, 1]]) if len(excl) else np.zeros(0, bool)
         )
@@ -1121,6 +1128,33 @@ def _make_pair_backend_energy(
         )
         excl_a = excl[xa_sel] if len(excl) else excl
         exc_a = exc_idx[ea_sel] if len(exc_idx) else exc_idx
+        _excl_pairs = (
+            set(map(tuple, np.sort(excl_a, axis=1).tolist()))
+            if len(excl_a)
+            else set()
+        )
+        if len(aiu):
+            _keep = np.asarray(
+                [
+                    (
+                        int(min(alch_atoms_np[i], alch_atoms_np[j])),
+                        int(max(alch_atoms_np[i], alch_atoms_np[j])),
+                    )
+                    not in _excl_pairs
+                    for i, j in zip(aiu, aju)
+                ],
+                bool,
+            )
+            aiu, aju = aiu[_keep], aju[_keep]
+        na_excl_mask = np.zeros((len(alch_atoms_np), len(cols_na)), bool)
+        _arow = {int(a): k for k, a in enumerate(alch_atoms_np)}
+        _cpos = {int(c): k for k, c in enumerate(cols_na)}
+        for _i, _j in _excl_pairs:
+            if _i in _arow and _j in _cpos:
+                na_excl_mask[_arow[_i], _cpos[_j]] = True
+            if _j in _arow and _i in _cpos:
+                na_excl_mask[_arow[_j], _cpos[_i]] = True
+        na_excl_mask_j = jnp.asarray(na_excl_mask) if na_excl_mask.any() else None
 
         def lambda_ea(positions, box=None, globals_=None):
             """Alchemical part Ea(x, lambda): alch-row pair blocks + the
@@ -1146,6 +1180,8 @@ def _make_pair_backend_energy(
                     dr = _pdisp(dr, box)
                 r2 = jnp.sum(dr * dr, -1)
                 in_cut = r2 < cutoff * cutoff if use_cutoff else jnp.ones_like(r2, bool)
+                if na_excl_mask_j is not None:
+                    in_cut = in_cut & ~na_excl_mask_j
                 r2 = jnp.maximum(r2, 1e-6)
                 e_na, _ = pair_energy_force(
                     r2,
@@ -1185,30 +1221,8 @@ def _make_pair_backend_energy(
                     alch_coulomb=alch_coulomb,
                 )
                 e_total = e_total + jnp.sum(jnp.where(in_cut_a, e_aa, 0.0))
-            # subtract alch-involving exclusions (same formula/cutoff rules
-            # as energy_rest)
-            if len(excl_a):
-                drx = positions[excl_a[:, 0]] - positions[excl_a[:, 1]]
-                if periodic and box is not None:
-                    drx = _pdisp(drx, box)
-                r2x = jnp.maximum(jnp.sum(drx * drx, -1), 1e-6)
-                e_x, _ = pair_energy_force(
-                    r2x,
-                    jnp.asarray(x_sig[xa_sel], dtype),
-                    jnp.asarray(x_eps[xa_sel], dtype),
-                    jnp.asarray(x_qq_std[xa_sel], dtype),
-                    jnp.asarray(x_qq_na[xa_sel], dtype),
-                    jnp.asarray(x_qq_aa[xa_sel], dtype),
-                    jnp.asarray(x_scale[xa_sel]),
-                    lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
-                    alpha_ewald=alpha, k_rf=k_rf, c_rf=c_rf,
-                    softcore_alpha=sc.softcore_alpha,
-                    switch_distance=switch_distance, cutoff=cutoff,
-                    alch_coulomb=alch_coulomb,
-                )
-                if use_cutoff:
-                    e_x = jnp.where(r2x < cutoff * cutoff, e_x, 0.0)
-                e_total = e_total - jnp.sum(e_x)
+            # alch-involving exclusions were removed from the pair blocks at
+            # build time (no compute-then-subtract; see note above)
             # alch-involving 1-4 exceptions (lambda rules as energy_rest)
             if len(exc_a):
                 dre = positions[exc_a[:, 0]] - positions[exc_a[:, 1]]

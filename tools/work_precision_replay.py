@@ -21,9 +21,12 @@ dynamics) to separate the two error sources.
 Writes docs/work_precision_production.json:
     {W_kahan_f32, W_naive_f32, W_f64_replay, |dW| values in kT, ...}
 
-Usage:
-    PYTHONPATH=/root/repo python tools/work_precision_replay.py \
-        [--nsteps 10000] [--cpu]
+Two phases (x64 is unavailable on the TPU backend, so the f64 replay runs
+in a separate CPU process):
+    python tools/work_precision_replay.py --phase run            # TPU f32
+    JAX_PLATFORMS=cpu python tools/work_precision_replay.py --phase replay
+The run phase dumps the stream to --stream-file (npz); the replay phase
+loads it and writes the final artifact.
 """
 
 import argparse
@@ -51,9 +54,20 @@ def main():
     ap.add_argument("--nsteps", type=int, default=10000)
     ap.add_argument("--n-atoms", type=int, default=22340)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--phase", choices=["run", "replay", "both"], default="both")
+    ap.add_argument("--stream-file", default="/tmp/wp_stream.npz")
+    ap.add_argument(
+        "--replay-no-split", action="store_true",
+        help="diagnostic: full-E lambda differences instead of lambda_ea",
+    )
+    ap.add_argument(
+        "--replay-f32", action="store_true",
+        help="diagnostic: replay in f32 — should reproduce the protocol's "
+        "own W if the replay bookkeeping matches the protocol exactly",
+    )
     ap.add_argument("--out", default="docs/work_precision_production.json")
     args = ap.parse_args()
-    if args.cpu:
+    if args.cpu or args.phase == "replay":
         jax.config.update("jax_platforms", "cpu")
 
     import warnings
@@ -71,6 +85,21 @@ def main():
     backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
     system, x0 = t4_scale_binding_site_box(n_atoms=args.n_atoms)
     lig = system.topology.select_resname("LIG")
+    # HMR 3.024 Da over bonds+constraints — required for the 4 fs production
+    # timestep (reference examples/rotmove_cuda.yml:25); without it the f32
+    # run integrates unstably and the stream goes NaN mid-protocol
+    from blues_tpu.core.prmtop import repartition_hydrogen_masses
+
+    bond_graph = np.concatenate(
+        [
+            np.asarray(e.idx).reshape(-1, 2)
+            for e in (system.bonds, system.constraints)
+            if len(e)
+        ]
+    )
+    system = system.replace(
+        masses=repartition_hydrogen_masses(system.masses, bond_graph, 3.024)
+    )
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         fs = system.freeze_radius(np.asarray(x0), lig, 0.5)
@@ -83,48 +112,73 @@ def main():
     efn_kwargs = dict(
         nonbonded_method="PME", cutoff=1.0, ewald_tolerance=0.005,
     )
-    efn = make_energy_fn(fs, nonbonded_backend=backend, **efn_kwargs)
-    ffn = make_force_fn(efn)
-    cx, cv = make_constraint_fns(fs.constraints, fs.masses)
-    box = jnp.asarray(fs.box, jnp.float32)
-    x = jnp.asarray(x0, jnp.float32)
-    x, _ = jax.jit(
-        lambda x: minimize_fire(ffn, fs.masses, x, box, n_steps=400, constrain_x=cx)
-    )(x)
-
     params = LangevinParams(dt=0.004, friction=1.0, temperature=300.0)
     schedule = build_ncmc_schedule(args.nsteps)
-    move = RandomLigandRotationMove(lig, fs.masses)
-    key = jax.random.PRNGKey(777)
-    kv, kp = jax.random.split(key)
-    v = cv(maxwell_boltzmann_velocities(kv, fs.masses, 300.0), x)
+    M = schedule.n_micro
+    mm = schedule.move_micro
 
-    results = {}
-    stream = None
-    for label, naive in (("kahan", False), ("naive", True)):
-        protocol = make_ncmc_protocol(
-            efn, ffn, fs.masses, params, cx, cv, schedule, move=move,
-            naive_accumulation=naive,
-            stream_atoms=stream_atoms if not naive else None,
+    if args.phase in ("run", "both"):
+        efn = make_energy_fn(fs, nonbonded_backend=backend, **efn_kwargs)
+        ffn = make_force_fn(efn)
+        cx, cv = make_constraint_fns(fs.constraints, fs.masses)
+        box = jnp.asarray(fs.box, jnp.float32)
+        x = jnp.asarray(x0, jnp.float32)
+        x, _ = jax.jit(
+            lambda x: minimize_fire(ffn, fs.masses, x, box, n_steps=400, constrain_x=cx)
+        )(x)
+
+        move = RandomLigandRotationMove(lig, fs.masses)
+        key = jax.random.PRNGKey(777)
+        kv, kp = jax.random.split(key)
+        v = cv(maxwell_boltzmann_velocities(kv, fs.masses, 300.0), x)
+
+        results = {}
+        stream = None
+        for label, naive in (("kahan", False), ("naive", True)):
+            protocol = make_ncmc_protocol(
+                efn, ffn, fs.masses, params, cx, cv, schedule, move=move,
+                naive_accumulation=naive,
+                stream_atoms=stream_atoms if not naive else None,
+            )
+            pj = jax.jit(protocol)
+            t0 = time.time()
+            res = pj(x, v, box, kp)
+            jax.block_until_ready(res.protocol_work)
+            w = float(res.protocol_work)
+            log(f"# {label}: W = {w:.6f} kJ/mol ({w / KT300:.6f} kT) in {time.time() - t0:.0f}s")
+            results[label] = w
+            if not naive:
+                stream = np.asarray(res.micro_stream)  # (M, S, 3) f32
+                mid_pos = np.asarray(res.mid_positions)
+                e_init_f32 = float(res.e_initial)
+                e_final_f32 = float(res.e_final)
+        x_start = np.asarray(jax.jit(lambda xx: cx(xx, xx))(x), np.float64)
+        np.savez_compressed(
+            args.stream_file,
+            stream=stream,
+            mid_pos=mid_pos,
+            x_start=x_start,
+            w_kahan=results["kahan"],
+            w_naive=results["naive"],
+            e_init_f32=e_init_f32,
+            e_final_f32=e_final_f32,
+            stream_atoms=stream_atoms,
         )
-        pj = jax.jit(protocol)
-        t0 = time.time()
-        res = pj(x, v, box, kp)
-        jax.block_until_ready(res.protocol_work)
-        w = float(res.protocol_work)
-        log(f"# {label}: W = {w:.6f} kJ/mol ({w / KT300:.6f} kT) in {time.time() - t0:.0f}s")
-        results[label] = w
-        if not naive:
-            stream = np.asarray(res.micro_stream)  # (M, S, 3) f32
-            mid_pos = np.asarray(res.mid_positions)
-            e_init_f32 = float(res.e_initial)
-            e_final_f32 = float(res.e_final)
+        log(f"# wrote stream to {args.stream_file}")
+        if args.phase == "run":
+            return
+
+    data = np.load(args.stream_file)
+    stream = data["stream"]
+    mid_pos = data["mid_pos"]
+    x_start = data["x_start"]
+    results = {"kahan": float(data["w_kahan"]), "naive": float(data["w_naive"])}
+    e_init_f32 = float(data["e_init_f32"])
+    e_final_f32 = float(data["e_final_f32"])
+    assert (data["stream_atoms"] == stream_atoms).all()
 
     # --- f64 replay of the recorded trajectory's work bookkeeping -----------
-    M = schedule.n_micro
     assert stream.shape[0] == M, stream.shape
-    mm = schedule.move_micro
-    x_start = np.asarray(jax.jit(lambda x: cx(x, x))(x), np.float64)
     template = np.array(x_start)  # frozen atoms never move
 
     def full_x(sub):
@@ -132,16 +186,39 @@ def main():
         out[stream_atoms] = np.asarray(sub, np.float64)
         return out
 
-    log("# building f64 replay energy fn (tiled backend)...")
+    rdtype = jnp.float32 if args.replay_f32 else jnp.float64
+    log(f"# building {jnp.dtype(rdtype).name} replay energy fn (tiled backend)...")
     t0 = time.time()
-    with jax.enable_x64(True):
+    with jax.enable_x64(not args.replay_f32):
         efn64 = make_energy_fn(fs, nonbonded_backend="tiled", **efn_kwargs)
-        box64 = jnp.asarray(np.asarray(fs.box), jnp.float64)
+        box64 = jnp.asarray(np.asarray(fs.box), rdtype)
         efn64_j = jax.jit(efn64, static_argnames=())
 
         def E(xf, g):
-            gg = {k: jnp.asarray(v, jnp.float64) for k, v in g.items()}
-            return float(efn64_j(jnp.asarray(xf, jnp.float64), box64, gg))
+            gg = {k: jnp.asarray(v, rdtype) for k, v in g.items()}
+            return float(efn64_j(jnp.asarray(xf, rdtype), box64, gg))
+
+        # lambda-difference terms at fixed positions need only the
+        # alchemical part (E0 + bonded cancel EXACTLY) — this is what makes
+        # a full 10k-step f64 replay run in minutes instead of hours
+        ea64_raw = (
+            None
+            if args.replay_no_split
+            else getattr(efn64.nonbonded, "lambda_ea", None)
+        )
+        if ea64_raw is not None:
+            ea64_j = jax.jit(ea64_raw)
+
+            def dE_lam(xf, g_new, g_old):
+                x64v = jnp.asarray(xf, rdtype)
+                gn = {k: jnp.asarray(v, rdtype) for k, v in g_new.items()}
+                go = {k: jnp.asarray(v, rdtype) for k, v in g_old.items()}
+                return float(ea64_j(x64v, box64, gn)) - float(ea64_j(x64v, box64, go))
+
+        else:
+
+            def dE_lam(xf, g_new, g_old):
+                return E(xf, g_new) - E(xf, g_old)
 
         g_step = [
             {k: schedule.globals_per_step[k][i] for k in schedule.globals_per_step}
@@ -159,16 +236,17 @@ def main():
             else:
                 x_prev = x_start if k == 1 else full_x(stream[k - 2])
                 g_prev = g_init if k == 1 else g_step[k - 2]
-            W64 += E(x_prev, g_step[k - 1]) - E(x_prev, g_prev)
+            W64 += dE_lam(x_prev, g_step[k - 1], g_prev)
             if k == mm and mm > 0:
                 x_mm = full_x(stream[mm - 1])
-                W64 += E(x_mm, g_pre) - E(x_mm, g_step[mm - 1])
+                W64 += dE_lam(x_mm, g_pre, g_step[mm - 1])
                 x_mid = full_x(mid_pos[stream_atoms])
+                # external move work: positions change -> full energies
                 W64 += E(x_mid, g_pre) - E(x_mm, g_pre)
             if k % report_every == 0:
                 log(f"#   replay {k}/{M}  W64 = {W64 / KT300:+.6f} kT")
         x_end = full_x(stream[M - 1])
-        W64 += E(x_end, schedule.globals_final) - E(x_end, g_step[M - 1])
+        W64 += dE_lam(x_end, schedule.globals_final, g_step[M - 1])
     log(f"# f64 replay done in {time.time() - t0:.0f}s")
 
     artifact = {
