@@ -1060,7 +1060,7 @@ def _make_pair_backend_energy(
         len(alch_atoms_np)
         and len(alch_atoms_np) <= 512
         and not exact
-        and backend in ("pallas", "tiled")
+        and backend in ("pallas", "tiled", "cells")
     ):
         from .geometry import periodic_displacement as _pdisp
 
@@ -1082,16 +1082,34 @@ def _make_pair_backend_energy(
             # the split degenerates — Ea covers everything already
             pair_sum0 = None
         else:
-            feats0 = build_pair_features(
-                charges, nb.sigma, nb.epsilon, np.zeros(n, bool), rows0
-            )
             common0 = dict(common)
-            if backend == "pallas":
-                from .pallas.pair_kernel import make_pallas_pair_sum as _mk0
+            if backend == "cells":
+                # the cell kernel has no static column subset — instead zero
+                # the alchemical atoms' charge AND epsilon in the E0 feature
+                # set: every alchemical-involving pair contributes EXACTLY
+                # 0.0 (qq = 0 kills Coulomb, eps_ij = sqrt(eps_i*eps_j) = 0
+                # kills plain and softcore LJ), which is the same pair
+                # coverage as the tiled/pallas col_idx=cols_na restriction
+                from .cells import make_cell_pair_sum as _mkc0
 
-                pair_sum0 = _mk0(feats0, col_idx=cols_na, **common0)
+                feats0 = build_pair_features(
+                    charges * (1.0 - is_alch),
+                    nb.sigma,
+                    epsilons * (1.0 - is_alch),
+                    np.zeros(n, bool),
+                    rows0,
+                )
+                pair_sum0 = _mkc0(feats0, box0=box_for_pme, **common0)
             else:
-                pair_sum0 = make_tiled_pair_sum(feats0, col_idx=cols_na, **common0)
+                feats0 = build_pair_features(
+                    charges, nb.sigma, nb.epsilon, np.zeros(n, bool), rows0
+                )
+                if backend == "pallas":
+                    from .pallas.pair_kernel import make_pallas_pair_sum as _mk0
+
+                    pair_sum0 = _mk0(feats0, col_idx=cols_na, **common0)
+                else:
+                    pair_sum0 = make_tiled_pair_sum(feats0, col_idx=cols_na, **common0)
 
         # static gathered features for the alchemical blocks
         a_q = charges[alch_atoms_np]

@@ -36,14 +36,15 @@ LAMBDAS = [
 ]
 
 
+@pytest.mark.parametrize("backend", ["tiled", "cells"])
 @pytest.mark.parametrize("treatment", ["direct-space", "coulomb"])
-def test_split_decomposition_matches_full(tol_box, treatment):
+def test_split_decomposition_matches_full(tol_box, treatment, backend):
     system, x = tol_box
     efn = make_energy_fn(
         system, nonbonded_method="PME", cutoff=0.9,
-        nonbonded_backend="tiled", alchemical_pme_treatment=treatment,
+        nonbonded_backend=backend, alchemical_pme_treatment=treatment,
     )
-    assert hasattr(efn, "lambda_e0_f0"), "split not built for tiled+alchemical"
+    assert hasattr(efn, "lambda_e0_f0"), f"split not built for {backend}+alchemical"
     ffn = make_force_fn(efn)
     with jax.enable_x64(True):
         x64 = jnp.asarray(np.asarray(x), jnp.float64)

@@ -60,7 +60,10 @@ def main():
     schedule = build_ncmc_schedule(nsteps)
     M, mm = schedule.n_micro, schedule.move_micro
 
-    efn_kwargs = dict(nonbonded_method="PME", cutoff=1.0, ewald_tolerance=0.005)
+    efn_kwargs = dict(
+        nonbonded_method="PME", cutoff=1.0, ewald_tolerance=0.005,
+        frozen_cull_skin=None,  # match work_precision_replay.py
+    )
     efn = make_energy_fn(fs, nonbonded_backend="tiled", **efn_kwargs)
     ea_fn = efn.nonbonded.lambda_ea
     # protocol evaluates Ea through value_and_grad (the eafa pass) — compare

@@ -109,8 +109,16 @@ def main():
     stream_atoms = np.where((m > 0) | is_alch)[0]
     log(f"# {fs.n_atoms} atoms, stream subset {len(stream_atoms)}; backend={backend}")
 
+    # culling disabled: over a 10k-step (40 ps) protocol the DECOUPLED ligand
+    # free-diffuses ~1 nm and escapes its COM cage ball; the guard's
+    # NaN-poison veto is correct production behavior (driver rejects) but
+    # this study needs one finite trajectory — the reference completes such
+    # proposals and Metropolis-rejects them, so an unvetoed trajectory is
+    # the faithful shape (measured: un-HMR'd dt=4fs went NaN by instability;
+    # HMR'd went NaN at step 4223 by cage escape)
     efn_kwargs = dict(
         nonbonded_method="PME", cutoff=1.0, ewald_tolerance=0.005,
+        frozen_cull_skin=None,
     )
     params = LangevinParams(dt=0.004, friction=1.0, temperature=300.0)
     schedule = build_ncmc_schedule(args.nsteps)
@@ -259,6 +267,9 @@ def main():
             "mobile_atoms": int(len(stream_atoms)),
             "backend_f32": backend,
             "backend_f64_replay": "tiled (exact lax.erfc in f64)",
+            "hmr_Da": 3.024,
+            "frozen_cull": "disabled (cage-ball veto would truncate the "
+            "stream; reference never vetoes — see tool docstring)",
             "note": (
                 "f64 replay recomputes every work term (energy differences "
                 "at recorded f32-trajectory positions) in float64 — ground "
