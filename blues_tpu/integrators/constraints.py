@@ -36,7 +36,57 @@ from ..core.system import Constraints
 NEWTON_ITERS = 6
 
 
-def _build_clusters(constraints: Constraints, masses):
+def _settle_partition(cluster_list, idx, d, masses, invm):
+    """Split clusters into analytic-SETTLE-eligible rigid triangles (3 atoms
+    / 3 constraints, fully mobile, isoceles about an apex with equal-mass
+    base atoms — every rigid 3-site water) and the Newton rest.
+
+    Returns (settle_arrays | None, remaining_cluster_list). settle_arrays:
+    atoms (W, 3) ordered [apex, base1, base2], masses (W, 3), and the
+    canonical frame geometry ra/rb/rc (W,) of Miyamoto & Kollman 1992."""
+    settle, rest = [], []
+    for cons in cluster_list:
+        ok = False
+        if len(cons) == 3:
+            pairs = [tuple(int(a) for a in idx[k]) for k in cons]
+            atoms = sorted({a for p in pairs for a in p})
+            if len(atoms) == 3 and all(invm[a] > 0 for a in atoms):
+                # find an apex whose two constraint distances are equal and
+                # whose base atoms have equal mass
+                dist = {frozenset(p): float(d[k]) for p, k in zip(pairs, cons)}
+                if len(dist) == 3:
+                    for apex in atoms:
+                        b1, b2 = [a for a in atoms if a != apex]
+                        dab = dist[frozenset((apex, b1))]
+                        dac = dist[frozenset((apex, b2))]
+                        dbc = dist[frozenset((b1, b2))]
+                        if (
+                            abs(dab - dac) < 1e-9
+                            and abs(masses[b1] - masses[b2]) < 1e-6
+                            and dbc < dab + dac  # non-degenerate triangle
+                        ):
+                            settle.append((apex, b1, b2, dab, dbc))
+                            ok = True
+                            break
+        if not ok:
+            rest.append(cons)
+    if not settle:
+        return None, rest
+    arr = np.asarray([(a, b, c) for a, b, c, _, _ in settle], np.int32)
+    dab = np.asarray([x[3] for x in settle], np.float64)
+    dbc = np.asarray([x[4] for x in settle], np.float64)
+    m = masses[arr]  # (W, 3)
+    rc = 0.5 * dbc
+    t = np.sqrt(dab * dab - rc * rc)  # apex height over the base
+    ra = (m[:, 1] + m[:, 2]) / m.sum(1) * t  # apex -> COM along the axis
+    rb = t - ra  # COM -> base midpoint
+    return (
+        dict(atoms=arr, m=m, ra=ra, rb=rb, rc=rc, n_waters=len(arr)),
+        rest,
+    )
+
+
+def _build_clusters(constraints: Constraints, masses, use_settle: bool = True):
     """Partition constraints into connected clusters; return padded arrays."""
     idx = np.asarray(constraints.idx, np.int64)
     d = np.asarray(constraints.dist, np.float64)
@@ -74,6 +124,13 @@ def _build_clusters(constraints: Constraints, masses):
         clusters.setdefault(root, []).append(k)
 
     cluster_list = list(clusters.values())
+    settle_arrays = None
+    if use_settle:
+        settle_arrays, cluster_list = _settle_partition(
+            cluster_list, idx, d, masses, invm
+        )
+    if not cluster_list:
+        return dict(settle=settle_arrays, n_clusters=0, n_atoms=len(masses))
     a_max = max(
         len({int(a) for k in cons for a in idx[k]}) for cons in cluster_list
     )
@@ -127,6 +184,7 @@ def _build_clusters(constraints: Constraints, masses):
         n_clusters=C,
         a_max=a_max,
         k_max=k_max,
+        settle=settle_arrays,
     )
 
 
@@ -174,15 +232,156 @@ def _solve_small(J, b, K):
     return jnp.linalg.solve(J, b[..., :, None])[..., 0]
 
 
-def make_constraint_fns(constraints: Constraints, masses, tol: float = 1e-6):
+def _make_settle_fns(st):
+    """Analytic SETTLE (Miyamoto & Kollman, J Comput Chem 13:952, 1992) for
+    rigid isoceles triangles — every 3-site water. Replaces the iterated
+    Newton position projection with closed-form batched trig: no scan, no
+    linear solves, one gather + one unique-index scatter. The velocity
+    projection is the exact RATTLE 3x3 solve (linear, one shot).
+
+    TPU note: everything is (W, ...) elementwise VPU math; the atom triplets
+    are disjoint across waters, so the scatter has provably unique indices.
+    """
+    atoms = jnp.asarray(st["atoms"])  # (W, 3) [apex, base1, base2]
+    m_np = st["m"]
+    ra_np, rb_np, rc_np = st["ra"], st["rb"], st["rc"]
+    invm_np = 1.0 / m_np
+
+    # fixed incidence for the velocity RATTLE: constraints (A-B1, A-B2,
+    # B1-B2) over local atoms (0, 1, 2)
+    P_np = np.array([[1.0, -1.0, 0.0], [1.0, 0.0, -1.0], [0.0, 1.0, -1.0]])
+    ci = np.array([0, 0, 1])
+    cj = np.array([1, 2, 2])
+    ii = ci[:, None] == ci[None, :]
+    ij = ci[:, None] == cj[None, :]
+    ji = cj[:, None] == ci[None, :]
+    jj = cj[:, None] == cj[None, :]
+    w_np = invm_np[:, ci][:, :, None] * (ii.astype(np.float64) - ij) + invm_np[
+        :, cj
+    ][:, :, None] * (jj.astype(np.float64) - ji)  # (W, 3, 3)
+    B_np = -invm_np[:, :, None] * P_np.T[None]  # (W, 3atoms, 3cons)
+
+    def settle_positions(x_new, x_ref):
+        dtype = x_new.dtype
+        m = jnp.asarray(m_np, dtype)[..., None]  # (W, 3, 1)
+        ra = jnp.asarray(ra_np, dtype)
+        rb = jnp.asarray(rb_np, dtype)
+        rc = jnp.asarray(rc_np, dtype)
+        q = x_ref[atoms]  # (W, 3, 3) old, constraint-satisfying
+        p = x_new[atoms]  # (W, 3, 3) new, unconstrained
+        com = jnp.sum(m * p, 1) / jnp.sum(m, 1)
+        a1 = p[:, 0] - com
+        b1 = p[:, 1] - com
+        c1 = p[:, 2] - com
+        xb0 = q[:, 1] - q[:, 0]
+        xc0 = q[:, 2] - q[:, 0]
+
+        def unit(u):
+            return u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+
+        n0 = unit(jnp.cross(xb0, xc0))  # normal of the OLD plane
+        n1 = unit(jnp.cross(a1, n0))
+        n2 = jnp.cross(n0, n1)
+        dot = lambda u, v: jnp.sum(u * v, -1)
+        xb0d, yb0d = dot(xb0, n1), dot(xb0, n2)
+        xc0d, yc0d = dot(xc0, n1), dot(xc0, n2)
+        za1d = dot(a1, n0)
+        xb1d, yb1d, zb1d = dot(b1, n1), dot(b1, n2), dot(b1, n0)
+        xc1d, yc1d, zc1d = dot(c1, n1), dot(c1, n2), dot(c1, n0)
+
+        sinphi = jnp.clip(za1d / ra, -1.0, 1.0)
+        cosphi = jnp.sqrt(jnp.maximum(1.0 - sinphi * sinphi, 1e-12))
+        sinpsi = jnp.clip((zb1d - zc1d) / (2.0 * rc * cosphi), -1.0, 1.0)
+        cospsi = jnp.sqrt(jnp.maximum(1.0 - sinpsi * sinpsi, 0.0))
+
+        ya2d = ra * cosphi
+        xb2d = -rc * cospsi
+        yb2d = -rb * cosphi - rc * sinpsi * sinphi
+        yc2d = -rb * cosphi + rc * sinpsi * sinphi
+
+        alpha = xb2d * (xb0d - xc0d) + yb0d * yb2d + yc0d * yc2d
+        beta = xb2d * (yc0d - yb0d) + xb0d * yb2d + xc0d * yc2d
+        gamma = xb0d * yb1d - xb1d * yb0d + xc0d * yc1d - xc1d * yc0d
+        al2be2 = alpha * alpha + beta * beta
+        sintheta = jnp.clip(
+            (alpha * gamma - beta * jnp.sqrt(jnp.maximum(al2be2 - gamma * gamma, 0.0)))
+            / al2be2,
+            -1.0,
+            1.0,
+        )
+        costheta = jnp.sqrt(jnp.maximum(1.0 - sintheta * sintheta, 0.0))
+
+        za2d = ra * sinphi
+        zb2d = -rb * sinphi + rc * sinpsi * cosphi
+        zc2d = -rb * sinphi - rc * sinpsi * cosphi
+        a3 = jnp.stack([-ya2d * sintheta, ya2d * costheta, za2d], -1)
+        b3 = jnp.stack(
+            [
+                xb2d * costheta - yb2d * sintheta,
+                xb2d * sintheta + yb2d * costheta,
+                zb2d,
+            ],
+            -1,
+        )
+        c3 = jnp.stack(
+            [
+                -xb2d * costheta - yc2d * sintheta,
+                -xb2d * sintheta + yc2d * costheta,
+                zc2d,
+            ],
+            -1,
+        )
+
+        def back(dd):
+            return com + dd[:, 0:1] * n1 + dd[:, 1:2] * n2 + dd[:, 2:3] * n0
+
+        newp = jnp.stack([back(a3), back(b3), back(c3)], 1)  # (W, 3, 3)
+        return x_new.at[atoms.reshape(-1)].set(
+            newp.reshape(-1, 3).astype(dtype), unique_indices=True
+        )
+
+    def settle_velocities(v, x):
+        dtype = v.dtype
+        w = jnp.asarray(w_np, dtype)
+        Bw = jnp.asarray(B_np, dtype)
+        Pj = jnp.asarray(P_np, dtype)
+        px = x[atoms]
+        pv = v[atoms]
+        dr = jnp.sum(Pj[None, :, :, None] * px[:, None, :, :], 2)  # (W, 3, 3)
+        dv = jnp.sum(Pj[None, :, :, None] * pv[:, None, :, :], 2)
+        c = jnp.sum(dv * dr, -1)
+        J = jnp.sum(dr[:, :, None, :] * dr[:, None, :, :], -1) * w
+        g = _solve_small(J, c, 3)
+        delta = jnp.sum(Bw[:, :, :, None] * (g[:, :, None] * dr)[:, None, :, :], 2)
+        return v.at[atoms.reshape(-1)].add(
+            delta.reshape(-1, 3).astype(dtype), unique_indices=True
+        )
+
+    return settle_positions, settle_velocities
+
+
+def make_constraint_fns(
+    constraints: Constraints, masses, tol: float = 1e-6, use_settle: bool = True
+):
     """Build (constrain_positions, constrain_velocities); identities when the
     system has no constraints. `tol` is kept for API compatibility; the
-    fixed Newton iteration converges far below 1e-6 relative."""
+    fixed Newton iteration converges far below 1e-6 relative.
+
+    Rigid 3-site waters are split out and solved analytically (SETTLE,
+    unless ``use_settle=False``); everything else goes through the
+    clustered batched Newton solver."""
     if len(constraints) == 0:
         return (lambda x_new, x_ref: x_new), (lambda v, x: v)
-    cl = _build_clusters(constraints, masses)
+    cl = _build_clusters(constraints, masses, use_settle=use_settle)
     if cl is None:
         return (lambda x_new, x_ref: x_new), (lambda v, x: v)
+
+    st = cl.get("settle")
+    settle_pos, settle_vel = _make_settle_fns(st) if st is not None else (None, None)
+    if cl["n_clusters"] == 0:
+        return settle_pos or (lambda x_new, x_ref: x_new), settle_vel or (
+            lambda v, x: v
+        )
 
     atoms = jnp.asarray(cl["atoms"])
     atom_valid_f = jnp.asarray(cl["atom_valid"], jnp.float32)
@@ -276,4 +475,14 @@ def make_constraint_fns(constraints: Constraints, masses, tol: float = 1e-6):
         pv = pv + _bsum(B[:, :, :, None], (g[:, :, None] * dr)[:, None, :, :], 2)
         return _scatter_delta(v, pv, pv0)
 
-    return constrain_positions, constrain_velocities
+    if settle_pos is None:
+        return constrain_positions, constrain_velocities
+
+    # waters and Newton clusters touch disjoint atom sets: compose freely
+    def constrain_positions_both(x_new, x_ref):
+        return constrain_positions(settle_pos(x_new, x_ref), x_ref)
+
+    def constrain_velocities_both(v, x):
+        return constrain_velocities(settle_vel(v, x), x)
+
+    return constrain_positions_both, constrain_velocities_both
