@@ -1,8 +1,15 @@
 """Spatial (atom-dimension) sharding: the tensor-parallel analog.
 
-For single systems too large for one chip, the pair sum and the PME charge
-spreading are sharded over a device mesh axis (SURVEY.md 5.7: "spatial
-decomposition + distributed PME FFT over ICI is the only TP-like pattern").
+Shards the pair-sum and PME-spread COMPUTE of one system over a device
+mesh axis (SURVEY.md 5.7: "spatial decomposition + distributed PME FFT
+over ICI is the only TP-like pattern"). Scope honesty: this distributes
+FLOPs, not memory — positions, the assembled charge grid, and the FFT
+stay replicated per device. That is the right trade at the reference's
+<=50k-atom scale (a coordinate array is KBs; pair work dominates) and it
+is NOT yet a >=1M-atom single-system story: that regime additionally
+needs per-device position slices and a distributed (slab/pencil) FFT,
+which SURVEY.md 5.7 places out of scope for this baseline.
+
 Positions stay replicated (a 1M-atom coordinate array is 12 MB — tiny next
 to the O(N * N/D) pair work); what is sharded is the COMPUTE:
 
