@@ -171,6 +171,8 @@ def main():
             e_init_f32=e_init_f32,
             e_final_f32=e_final_f32,
             stream_atoms=stream_atoms,
+            run_backend=backend,
+            run_device=str(jax.devices()[0]),
         )
         log(f"# wrote stream to {args.stream_file}")
         if args.phase == "run":
@@ -184,6 +186,11 @@ def main():
     e_init_f32 = float(data["e_init_f32"])
     e_final_f32 = float(data["e_final_f32"])
     assert (data["stream_atoms"] == stream_atoms).all()
+    # provenance of the f32 RUN phase (the artifact is written by the CPU
+    # replay process; without these the backend/device fields would
+    # misreport the replay environment)
+    run_backend = str(data["run_backend"]) if "run_backend" in data.files else backend
+    run_device = str(data["run_device"]) if "run_device" in data.files else None
 
     # --- f64 replay of the recorded trajectory's work bookkeeping -----------
     assert stream.shape[0] == M, stream.shape
@@ -265,7 +272,8 @@ def main():
             "cutoff_nm": 1.0,
             "system_atoms": int(fs.n_atoms),
             "mobile_atoms": int(len(stream_atoms)),
-            "backend_f32": backend,
+            "backend_f32": run_backend,
+            "device_f32_run": run_device,
             "backend_f64_replay": "tiled (exact lax.erfc in f64)",
             "hmr_Da": 3.024,
             "frozen_cull": "disabled (cage-ball veto would truncate the "
@@ -284,7 +292,7 @@ def main():
         "kahan_vs_naive_kT": abs(results["kahan"] - results["naive"]) / KT300,
         "e_initial_f32": e_init_f32,
         "e_final_f32": e_final_f32,
-        "device": str(jax.devices()[0]),
+        "device_f64_replay": str(jax.devices()[0]),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
