@@ -299,6 +299,11 @@ def create_simulation(config, move=None, n_replicas: int = 1):
         ),
         nlist_rebuild_interval=int(sim_cfg.get("nlist_rebuild_interval", 10)),
         nonbonded_backend=str(sim_cfg.get("nonbonded_backend", "auto")),
+        max_steps_per_dispatch=(
+            int(sim_cfg["max_steps_per_dispatch"])
+            if sim_cfg.get("max_steps_per_dispatch")
+            else None
+        ),
     )
     sim = BLUESSimulation(system, move, config_obj)
     if positions is not None:

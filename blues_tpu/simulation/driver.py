@@ -37,7 +37,7 @@ from ..core.state import SimState, maxwell_boltzmann_velocities, pytree_dataclas
 from ..core.system import System
 from ..integrators.constraints import make_constraint_fns
 from ..integrators.langevin import LangevinParams, make_md_step
-from ..integrators.ncmc import make_ncmc_protocol
+from ..integrators.ncmc import make_ncmc_protocol, make_ncmc_protocol_staged
 from ..integrators.schedules import (
     build_ncmc_schedule,
     calculate_ncmc_steps,
@@ -88,6 +88,17 @@ class SimulationConfig:
     #: production protocols; integrators/ncmc.py). None = auto when the
     #: energy function exposes the decomposition; False disables.
     lambda_split: Optional[bool] = None
+    #: bound the work per device dispatch: when set, each iteration runs as
+    #: a host-driven sequence of jitted calls (NCMC protocol segments of
+    #: <= this many micro-steps, MD chunks of <= this many steps) with the
+    #: state left on device between calls, instead of one monolithic
+    #: execution. The remote-TPU execution tunnel kills single executions
+    #: past ~1 minute: 64 replicas x 10k-step production protocols fault
+    #: with 'UNAVAILABLE: TPU device error' monolithically
+    #: (tools/probe_driver_scale.py) but run segmented. Identical math and
+    #: RNG stream to the monolithic path (tests/test_segmented_driver.py).
+    #: Unsupported with pressure (NPT) or md_report_interval frames.
+    max_steps_per_dispatch: Optional[int] = None
 
 
 @pytree_dataclass
@@ -249,6 +260,19 @@ class BLUESSimulation:
             self._iteration = jax.vmap(self._iteration, in_axes=(0, 0))
         self._iteration = jax.jit(self._iteration)
 
+        self._seg = None
+        if config.max_steps_per_dispatch:
+            if config.pressure is not None:
+                raise ValueError(
+                    "max_steps_per_dispatch does not support NPT (pressure)"
+                )
+            if config.md_report_interval is not None:
+                raise ValueError(
+                    "max_steps_per_dispatch does not collect MD frames "
+                    "(md_report_interval)"
+                )
+            self._seg = self._build_segmented(record_micro)
+
         self.state: Optional[SimState] = None
         #: persistent MC-barostat state (adapted proposal size + counters),
         #: carried across iterations (OpenMM keeps these on the force object)
@@ -262,13 +286,44 @@ class BLUESSimulation:
         self.move_stats = np.zeros((n_moves, 2))
 
     # ------------------------------------------------------------------
+    def _make_md_runner(self):
+        """run_md_steps(inner, k): k BAOAB steps on an (x, v, f, key, box)
+        carry; with the verlet backend, the neighbor list is rebuilt every
+        nlist_rebuild_interval steps and reused in between."""
+        md_step = self._md_step
+        md_nlist = self._md_nlist
+        R = max(1, self.cfg.nlist_rebuild_interval)
+
+        def run_md_steps(inner, k):
+            if k <= 0:
+                return inner
+            if md_nlist is None:
+                inner, _ = jax.lax.scan(md_step, inner, None, length=k)
+                return inner
+            build, step_factory = md_nlist
+
+            def seg(carry, _, kk=R):
+                x, v, f, key, box = carry
+                step = step_factory(build(x, box))
+                out, _ = jax.lax.scan(step, (x, v, f, key, box), None, length=kk)
+                return out, None
+
+            n_seg, rem = k // R, k % R
+            if n_seg > 0:
+                inner, _ = jax.lax.scan(seg, inner, None, length=n_seg)
+            if rem > 0:
+                inner, _ = seg(inner, None, kk=rem)
+            return inner
+
+        return run_md_steps
+
+    # ------------------------------------------------------------------
     def _build_iteration(self) -> Callable:
         cfg = self.cfg
         masses = self.system.masses
         kT = self._kT
         energy_md = self.energy_md
         protocol_fn = self.protocol_fn
-        md_step = self._md_step
         n_md = cfg.nstepsMD
         interval = cfg.md_report_interval
 
@@ -310,31 +365,7 @@ class BLUESSimulation:
             n_chunks = n_md // chunk_size if n_md > 0 else 0
             n_rem = n_md - n_chunks * chunk_size  # leftover steps < chunk_size
 
-            md_nlist = self._md_nlist
-            R = max(1, cfg.nlist_rebuild_interval)
-
-            def run_md_steps(inner, k):
-                """k BAOAB steps; with the verlet backend, the neighbor list
-                is rebuilt every R steps and reused in between."""
-                if k <= 0:
-                    return inner
-                if md_nlist is None:
-                    inner, _ = jax.lax.scan(md_step, inner, None, length=k)
-                    return inner
-                build, step_factory = md_nlist
-
-                def seg(carry, _, kk=R):
-                    x, v, f, key, box = carry
-                    step = step_factory(build(x, box))
-                    out, _ = jax.lax.scan(step, (x, v, f, key, box), None, length=kk)
-                    return out, None
-
-                n_seg, rem = k // R, k % R
-                if n_seg > 0:
-                    inner, _ = jax.lax.scan(seg, inner, None, length=n_seg)
-                if rem > 0:
-                    inner, _ = seg(inner, None, kk=rem)
-                return inner
+            run_md_steps = self._make_md_runner()
 
             def chunk(carry, _):
                 x, v, f, key, box, bstate = carry
@@ -403,6 +434,153 @@ class BLUESSimulation:
             return state_out, stats, frames, ncmc_frames
 
         return wrapped
+
+    # ------------------------------------------------------------------
+    def _build_segmented(self, record_micro):
+        """Staged-dispatch machinery: the same iteration math as
+        _build_iteration, split into bounded jitted calls (see
+        SimulationConfig.max_steps_per_dispatch). Stage functions are
+        vmapped over replicas exactly like the monolithic iteration; the
+        RNG stream is threaded identically, so the two paths produce the
+        same trajectories (tests/test_segmented_driver.py)."""
+        cfg = self.cfg
+        R = cfg.n_replicas
+        energy_md = self.energy_md
+        force_md = self.force_md
+        masses = self.system.masses
+        kT = self._kT
+        cv = self._constrain[1]
+
+        staged = make_ncmc_protocol_staged(
+            self.energy_alch,
+            self.force_alch,
+            masses,
+            self.langevin_params,
+            self._constrain[0],
+            cv,
+            self.schedule,
+            move=self.move,
+            record_micro=record_micro,
+            splitting=cfg.splitting,
+            lambda_split=cfg.lambda_split,
+            seg_len=cfg.max_steps_per_dispatch,
+        )
+
+        def vm(fn, in_axes):
+            return jax.jit(jax.vmap(fn, in_axes=in_axes) if R > 1 else fn)
+
+        def pre(x, box, key):
+            key, k_acc, k_vel = jax.random.split(key, 3)
+            return energy_md(x, box, None), key, k_acc, k_vel
+
+        def accept(x_old, x_new, box, e_md0, e0, e_final, pw, k_acc, k_vel):
+            e_md1 = energy_md(x_new, box, None)
+            correction = -((e0 - e_md0) + (e_md1 - e_final)) / kT
+            log_accept = -pw / kT + correction
+            finite = jnp.isfinite(log_accept)
+            rand = jnp.log(jax.random.uniform(k_acc, (), x_old.dtype))
+            accepted = finite & (log_accept > rand)
+            x = jnp.where(accepted, x_new, x_old)
+            v = maxwell_boltzmann_velocities(k_vel, masses, cfg.temperature, x.dtype)
+            v = cv(v, x)
+            _, f0 = force_md(x, box, None)
+            return x, v, f0, accepted, correction, log_accept
+
+        run_md_steps = self._make_md_runner()
+
+        def make_md_chunk(k):
+            def chunkf(x, v, f, key, box):
+                return run_md_steps((x, v, f, key, box), k)
+
+            return vm(chunkf, (0, 0, 0, 0, 0))
+
+        L = int(cfg.max_steps_per_dispatch)
+        n_md = cfg.nstepsMD
+        md_plan = [L] * (n_md // L)
+        if n_md % L:
+            md_plan.append(n_md % L)
+        md_chunk = {k: make_md_chunk(k) for k in sorted(set(md_plan))}
+
+        def md_close(x_md, v_md, box, x_keep, v_keep):
+            e_md_end = energy_md(x_md, box, None)
+            md_ok = jnp.isfinite(e_md_end) & jnp.all(jnp.isfinite(x_md))
+            x = jnp.where(md_ok, x_md, x_keep)
+            v = jnp.where(md_ok, v_md, v_keep)
+            return x, v, e_md_end, md_ok
+
+        return {
+            "staged": staged,
+            "pre": vm(pre, (0, 0, 0)),
+            "init": vm(staged.init_fn, (0, 0, 0, 0)),
+            "seg": vm(staged.seg_fn, (0, None)),
+            "move": vm(staged.move_fn, (0, 0)),
+            "close": vm(staged.close_fn, (0, 0)),
+            "accept": vm(accept, (0, 0, 0, 0, 0, 0, 0, 0, 0)),
+            "md_plan": md_plan,
+            "md_chunk": md_chunk,
+            "md_close": vm(md_close, (0, 0, 0, 0, 0)),
+        }
+
+    def _run_iteration_segmented(self):
+        sg = self._seg
+        st = sg["staged"]
+        cfg = self.cfg
+        s = self.state
+        x, v, box, key = s.positions, s.velocities, s.box, s.rng_key
+
+        e_md0, kprot, k_acc, k_vel = sg["pre"](x, box, key)
+        carry, aux, e0 = sg["init"](x, v, box, kprot)
+        mid_w = st.work_of(carry)
+        snaps, snap_works = [], []
+        for entry in st.plan:
+            kind = entry[0]
+            if kind == "seg":
+                carry = sg["seg"](carry, entry[1])
+            elif kind == "move":
+                carry, aux = sg["move"](carry, aux)
+                mid_w = st.work_of(carry)
+            else:  # snap
+                snaps.append(st.positions_of(carry))
+                snap_works.append(st.work_of(carry))
+        x_nc, _v_nc, key, pw, e_final, work_end = sg["close"](carry, aux)
+        if st.record_final:
+            snaps.append(x_nc)
+            snap_works.append(work_end)
+
+        x2, v2, f0, accepted, correction, log_accept = sg["accept"](
+            x, x_nc, box, e_md0, e0, e_final, pw, k_acc, k_vel
+        )
+
+        mc = (x2, v2, f0, key, box)
+        for k in sg["md_plan"]:
+            mc = sg["md_chunk"][k](*mc)
+        x3, v3, _f3, key, box = mc
+        x_fin, v_fin, e_md_end, md_ok = sg["md_close"](x3, v3, box, x2, v2)
+
+        R = cfg.n_replicas
+        if isinstance(aux, dict) and "selected" in aux:
+            selected = aux["selected"]
+        else:
+            selected = jnp.zeros((R,) if R > 1 else (), jnp.int32)
+        stats = IterationStats(
+            accepted=accepted,
+            protocol_work=pw,
+            correction=correction,
+            log_accept=log_accept,
+            md_potential=e_md_end,
+            ncmc_potential=e_final,
+            mid_work=mid_w,
+            selected_move=selected,
+            md_failed=~md_ok,
+        )
+        axis = 1 if R > 1 else 0
+        ncmc_frames = NCMCFrames(
+            jnp.stack(snaps, axis=axis) if snaps else None,
+            jnp.stack(snap_works, axis=axis) if snap_works else None,
+        )
+        self.state = SimState(x_fin, v_fin, box, key)
+        self.iteration_count += 1
+        return stats, None, ncmc_frames
 
     # ------------------------------------------------------------------
     def initialize(self, positions, box=None, key=None, velocities=None):
@@ -481,6 +659,8 @@ class BLUESSimulation:
 
     def run_iteration(self):
         """One MD<->NCMC iteration; returns (stats, md_frames, ncmc_frames)."""
+        if self._seg is not None:
+            return self._run_iteration_segmented()
         s = self.state
         if self._barostat is not None:
             if self.barostat_state is None:

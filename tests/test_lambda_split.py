@@ -131,8 +131,13 @@ def test_split_protocol_work_matches_unsplit(tol_box):
         assert np.isfinite(float(res.e_initial)) and np.isfinite(float(res.e_final))
     # same schedule, near-identical trajectories at dt=1e-7: the lambda
     # work telescopes to the same value up to f32 rounding of the
-    # large-energy differences the split formulation avoids
-    assert works[True] == pytest.approx(works[False], abs=0.5), works
+    # large-energy differences the split formulation avoids. The UNSPLIT
+    # path's noise floor sets the tolerance: each of its ~22 work terms is a
+    # difference of full energies whose pair sums pass through O(1e6) kJ/mol
+    # partials (water-lattice contacts), i.e. ~0.1 kJ/mol rounding per term,
+    # ~0.5-1 kJ/mol accumulated. A real telescoping bug (dropped lambda jump
+    # or move term) would be Ea-scale — O(1e2) kJ/mol — far above this.
+    assert works[True] == pytest.approx(works[False], abs=2.0), works
 
 
 def test_split_rejected_for_exact_treatment(tol_box):

@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--nsteps-nc", type=int, default=10000)
     ap.add_argument("--nsteps-md", type=int, default=2000)
     ap.add_argument("--n-atoms", type=int, default=22340)
+    # bounded dispatch: monolithic R=64 iterations at production length die
+    # in the remote-TPU execution tunnel (tools/probe_driver_scale.py:
+    # OK at nstepsNC<=1000, 'UNAVAILABLE: TPU device error' at 4000);
+    # segments of 1000 micro-steps keep each device call ~15 s
+    ap.add_argument("--max-dispatch", type=int, default=1000)
     ap.add_argument("--out", default="docs/acceptance_production.json")
     args = ap.parse_args()
 
@@ -89,6 +94,7 @@ def main():
         ewald_tolerance=0.005,
         nonbonded_backend=backend,
         n_replicas=args.replicas,
+        max_steps_per_dispatch=args.max_dispatch or None,
     )
     sim = BLUESSimulation(
         fs, MoveEngine(RandomLigandRotationMove(lig, fs.masses)), cfg
@@ -101,6 +107,52 @@ def main():
     acc_total = 0
     n_total = 0
     works = []
+
+    def write_artifact():
+        works_a = np.asarray(works)
+        finite = works_a[np.isfinite(works_a) & (np.abs(works_a) < 9e5)]
+        artifact = {
+            "protocol": {
+                "system": f"binding-site flagship {system.n_atoms} atoms ({mobile} mobile)",
+                "nstepsNC": args.nsteps_nc,
+                "nstepsMD": args.nsteps_md,
+                "nstepsMD_reference": 10000,
+                "dt_fs": 4.0,
+                "hydrogen_mass_Da": 3.024,
+                "cutoff_nm": 1.0,
+                "ewald_tolerance": 0.005,
+                "freeze": ">5A from LIG + solvent (reference rotmove_cuda.yml:42-45)",
+                "replicas": args.replicas,
+                "max_steps_per_dispatch": args.max_dispatch or None,
+                "note": (
+                    "NCMC switching protocol at full production length; the MD "
+                    "decorrelation stage is shortened (does not enter the "
+                    "acceptance criterion). Reference acceptance regime for "
+                    "T4-toluene rotation moves (JPCB 2018, 10.1021/acs.jpcb.7b11820) "
+                    "is low single-digit percent at 10k-step protocols."
+                ),
+            },
+            "samples": int(n_total),
+            "acceptance_ratio": acc_total / max(n_total, 1),
+            "acceptance_stderr": float(
+                np.sqrt(max(acc_total, 1) * (1 - acc_total / max(n_total, 1))) / max(n_total, 1)
+            ),
+            "work_kT": {
+                "mean": float(np.mean(finite)) if len(finite) else None,
+                "median": float(np.median(finite)) if len(finite) else None,
+                "p5": float(np.percentile(finite, 5)) if len(finite) else None,
+                "p95": float(np.percentile(finite, 95)) if len(finite) else None,
+                "n_vetoed_or_nan": int(len(works_a) - len(finite)),
+            },
+            "per_iteration": iters,
+            "wall_s_per_iteration_batch": float(np.mean([it["wall_s"] for it in iters[1:]])) if len(iters) > 1 else None,
+            "device": str(jax.devices()[0]),
+        }
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        return artifact
+
     for i in range(args.iters):
         t0 = time.time()
         stats, _, _ = sim.run_iteration()
@@ -127,48 +179,8 @@ def main():
             f"# iter {i}: acc {acc.mean():.3f} (cum {acc_total / max(n_total, 1):.3f}), "
             f"median work {np.median(w):+.2f} kT, {wall:.1f}s"
         )
+        artifact = write_artifact()  # incremental: partial runs still commit
 
-    works = np.asarray(works)
-    finite = works[np.isfinite(works) & (np.abs(works) < 9e5)]
-    artifact = {
-        "protocol": {
-            "system": f"binding-site flagship {system.n_atoms} atoms ({mobile} mobile)",
-            "nstepsNC": args.nsteps_nc,
-            "nstepsMD": args.nsteps_md,
-            "nstepsMD_reference": 10000,
-            "dt_fs": 4.0,
-            "hydrogen_mass_Da": 3.024,
-            "cutoff_nm": 1.0,
-            "ewald_tolerance": 0.005,
-            "freeze": ">5A from LIG + solvent (reference rotmove_cuda.yml:42-45)",
-            "replicas": args.replicas,
-            "note": (
-                "NCMC switching protocol at full production length; the MD "
-                "decorrelation stage is shortened (does not enter the "
-                "acceptance criterion). Reference acceptance regime for "
-                "T4-toluene rotation moves (JPCB 2018, 10.1021/acs.jpcb.7b11820) "
-                "is low single-digit percent at 10k-step protocols."
-            ),
-        },
-        "samples": int(n_total),
-        "acceptance_ratio": acc_total / max(n_total, 1),
-        "acceptance_stderr": float(
-            np.sqrt(max(acc_total, 1) * (1 - acc_total / max(n_total, 1))) / max(n_total, 1)
-        ),
-        "work_kT": {
-            "mean": float(np.mean(finite)) if len(finite) else None,
-            "median": float(np.median(finite)) if len(finite) else None,
-            "p5": float(np.percentile(finite, 5)) if len(finite) else None,
-            "p95": float(np.percentile(finite, 95)) if len(finite) else None,
-            "n_vetoed_or_nan": int(len(works) - len(finite)),
-        },
-        "per_iteration": iters,
-        "wall_s_per_iteration_batch": float(np.mean([it["wall_s"] for it in iters[1:]])) if len(iters) > 1 else None,
-        "device": str(jax.devices()[0]),
-    }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=1)
     log(f"# wrote {args.out}")
     print(json.dumps({"acceptance": artifact["acceptance_ratio"], "samples": n_total}))
 
