@@ -3,12 +3,13 @@
 Shards the pair-sum and PME-spread COMPUTE of one system over a device
 mesh axis (SURVEY.md 5.7: "spatial decomposition + distributed PME FFT
 over ICI is the only TP-like pattern"). Scope honesty: this distributes
-FLOPs, not memory — positions, the assembled charge grid, and the FFT
-stay replicated per device. That is the right trade at the reference's
-<=50k-atom scale (a coordinate array is KBs; pair work dominates) and it
-is NOT yet a >=1M-atom single-system story: that regime additionally
-needs per-device position slices and a distributed (slab/pencil) FFT,
-which SURVEY.md 5.7 places out of scope for this baseline.
+FLOPs, not memory — positions, the psum-assembled charge grid, and the
+FFT stay replicated per device. That is the right trade at the
+reference's <=50k-atom scale (a coordinate array is KBs; pair work and
+the spread dominate) and it is NOT yet a >=10M-atom single-system story:
+that regime additionally needs per-device position slices and a
+distributed (slab/pencil) FFT, which SURVEY.md 5.7 places out of scope
+for this baseline.
 
 Positions stay replicated (a 1M-atom coordinate array is 12 MB — tiny next
 to the O(N * N/D) pair work); what is sharded is the COMPUTE:
@@ -18,8 +19,9 @@ to the O(N * N/D) pair work); what is sharded is the COMPUTE:
     potentials/pairs.py); energies and row forces are `psum`'d over ICI.
   * PME reciprocal: each device B-spline-spreads its atom slice onto a
     local charge grid; `psum` assembles the full grid (a K^3 f32 array, a
-    few MB), and the FFT + influence sum run replicated (they are a tiny
-    fraction of the pair work at scale).
+    few MB — the standard multi-device PME grid all-reduce), and the FFT +
+    influence sum run replicated (they are a tiny fraction of the pair
+    work at scale).
   * bonded terms / exclusion corrections / self terms are cheap and run
     replicated, counted once via a 1/D weight inside the summed local
     lagrangian.
@@ -72,12 +74,72 @@ def make_spatial_force_fn(
     if nb is None:
         raise ValueError("spatial sharding requires a nonbonded term")
 
-    # the full composed energy, used for the replicated 'rest' terms and
+    from ..potentials.nonbonded import (
+        PME,
+        CUTOFF_PERIODIC,
+        CUTOFF_NONPERIODIC,
+        choose_pme_params,
+        reaction_field_constants,
+    )
+
+    method = energy_kwargs.get("nonbonded_method", "PME")
+    cutoff = energy_kwargs.get("cutoff", 1.0)
+    if method == PME:
+        pme_params = choose_pme_params(
+            np.diag(np.asarray(system.box)), cutoff,
+            energy_kwargs.get("ewald_tolerance", 5e-4),
+        )
+        alpha = pme_params.alpha
+        k_rf = c_rf = 0.0
+    elif method in (CUTOFF_PERIODIC, CUTOFF_NONPERIODIC):
+        alpha = 0.0
+        k_rf, c_rf = reaction_field_constants(
+            cutoff, energy_kwargs.get("rf_dielectric", 78.3)
+        )
+        pme_params = None
+    else:
+        alpha, k_rf, c_rf, pme_params = 0.0, 0.0, 0.0, None
+
+    # --- distributed PME spread: each device B-spline-spreads its atom
+    # slice onto a local grid; psum over the mesh axis assembles the full
+    # grid and the (cheap) FFT + influence sum runs replicated, counted
+    # once via the worker's 1/D weight. This removes the only O(N) runtime
+    # term that was computed fully replicated (the spread), so reciprocal
+    # compute now scales with the mesh like the pair sum does.
+    sharded_recip = None
+    if pme_params is not None:
+        from ..potentials.pme import make_pme_reciprocal
+
+        _recip_full = make_pme_reciprocal(pme_params)
+        _spread = _recip_full.spread_grid
+        _efg = _recip_full.energy_from_grid
+        per_a = -(-n // ndev)
+        idx_all = np.zeros((ndev, per_a), np.int32)
+        mask_all = np.zeros((ndev, per_a), np.float32)
+        flat = np.arange(n, dtype=np.int32)
+        for d in range(ndev):
+            sl = flat[d * per_a : (d + 1) * per_a]
+            idx_all[d, : len(sl)] = sl
+            mask_all[d, : len(sl)] = 1.0
+        idx_all_j = jnp.asarray(idx_all)
+        mask_all_j = jnp.asarray(mask_all)
+
+        def sharded_recip(positions, q_eff, box):
+            d = jax.lax.axis_index(axis_name)
+            idx = idx_all_j[d]
+            msk = mask_all_j[d].astype(positions.dtype)
+            g_local = _spread(positions[idx], q_eff[idx] * msk, box)
+            grid = jax.lax.psum(g_local, axis_name)
+            # unweighted: the worker's 1/D rest weight counts it once
+            return _efg(grid, box)
+
+    # the full composed energy, used for the 'rest' terms (with the
+    # reciprocal spread overridden to the device-sliced form above) and
     # the pair lambda factors
     full = make_nonbonded_energy(
         nb,
-        method=energy_kwargs.get("nonbonded_method", "PME"),
-        cutoff=energy_kwargs.get("cutoff", 1.0),
+        method=method,
+        cutoff=cutoff,
         alchemical=system.alchemical,
         alchemical_pme_treatment=energy_kwargs.get(
             "alchemical_pme_treatment", "direct-space"
@@ -89,6 +151,7 @@ def make_spatial_force_fn(
         frozen_ref_positions=system.frozen_ref_positions,
         frozen_cull_skin=None,
         switch_distance=energy_kwargs.get("switch_distance"),
+        recip_override=sharded_recip,
     )
     pair_sum = full.pair_sum
     rest_energy = full.rest
@@ -122,31 +185,6 @@ def make_spatial_force_fn(
     # on a different row slice, selected by axis_index; realized by passing
     # the slice's rows explicitly as features with a validity mask
     shard_feats = []
-    from ..potentials.nonbonded import (
-        PME,
-        CUTOFF_PERIODIC,
-        CUTOFF_NONPERIODIC,
-        choose_pme_params,
-        reaction_field_constants,
-    )
-
-    method = energy_kwargs.get("nonbonded_method", "PME")
-    cutoff = energy_kwargs.get("cutoff", 1.0)
-    if method == PME:
-        pme_params = choose_pme_params(
-            np.diag(np.asarray(system.box)), cutoff,
-            energy_kwargs.get("ewald_tolerance", 5e-4),
-        )
-        alpha = pme_params.alpha
-        k_rf = c_rf = 0.0
-    elif method in (CUTOFF_PERIODIC, CUTOFF_NONPERIODIC):
-        alpha = 0.0
-        k_rf, c_rf = reaction_field_constants(
-            cutoff, energy_kwargs.get("rf_dielectric", 78.3)
-        )
-        pme_params = None
-    else:
-        alpha, k_rf, c_rf, pme_params = 0.0, 0.0, 0.0, None
     sc = system.alchemical
     common = dict(
         method=method,
@@ -212,11 +250,12 @@ def make_spatial_force_fn(
         )) / ndev
         return e_pair + e_rest
 
-    # NOTE on PME: rest_energy already contains the reciprocal sum computed
-    # replicated from the FULL position array (weighted 1/D above) — at the
-    # >=1M-atom scale where spatial sharding matters, the spread should be
-    # sliced per device and psum'd; that refinement rides behind the same
-    # interface and is measured by the pair term here.
+    # NOTE on PME: rest_energy's reciprocal term is the sharded_recip
+    # override above — per-device atom-slice spread, psum'd grid,
+    # replicated FFT/influence (counted once via the same 1/D weight).
+    # Still replicated per device: positions (12 MB at 1M atoms) and the
+    # FFT itself; a >=10M-atom single-system story would additionally want
+    # per-device position slices and a distributed (slab/pencil) FFT.
 
     @partial(
         jax.shard_map, mesh=mesh,

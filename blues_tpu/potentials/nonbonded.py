@@ -184,6 +184,7 @@ def make_nonbonded_energy(
     frozen_cull_skin: Optional[float] = 0.45,
     frozen_cull_cage_margin: float = 1.0,
     bonds_for_cull=None,
+    recip_override=None,
 ):
     """Build fn(positions, box, globals) -> energy for the full nonbonded term.
 
@@ -306,6 +307,7 @@ def make_nonbonded_energy(
             frozen_cull_skin=frozen_cull_skin,
             frozen_cull_cage_margin=frozen_cull_cage_margin,
             bonds_for_cull=bonds_for_cull,
+            recip_override=recip_override,
         )
     if switch_distance is not None and not (0.0 < switch_distance < cutoff):
         raise ValueError(
@@ -540,6 +542,7 @@ def _make_pair_backend_energy(
     frozen_cull_skin: Optional[float] = 0.45,
     frozen_cull_cage_margin: float = 1.0,
     bonds_for_cull=None,
+    recip_override=None,
 ):
     """Large-system nonbonded energy: tiled/pallas pair sum + corrections.
 
@@ -1006,8 +1009,12 @@ def _make_pair_backend_energy(
                 q_eff = jnp.asarray(charges, dtype) * lamq
             else:
                 q_eff = jnp.asarray(q_std_np if alchemical is not None else charges, dtype)
-            rf = recip_fn_frozen if recip_fn_frozen is not None else recip_fn
-            if recip_fn_frozen is not None:
+            # recip_override: the spatial-sharding path substitutes a
+            # device-sliced spread + psum'd grid (parallel/spatial.py)
+            rf = recip_override or (
+                recip_fn_frozen if recip_fn_frozen is not None else recip_fn
+            )
+            if recip_fn_frozen is not None and recip_override is None:
                 # the frozen background grid was spread at the BUILD box; a
                 # changed box (NPT barostat) would silently corrupt the
                 # reciprocal sum — poison instead (driver rejects/rolls back)

@@ -132,12 +132,13 @@ def make_pme_reciprocal(
 
     subset = None if spread_subset is None else jnp.asarray(spread_subset)
 
-    def recip_energy(positions, charges, box):
+    def spread_grid(positions, charges, box, base=None):
+        """B-spline-spread ``charges`` at ``positions`` onto a (Kx, Ky, Kz)
+        charge grid (optionally on top of ``base``). Exposed separately so
+        the spatial-sharding path can spread per-device atom slices and
+        psum the partial grids (parallel/spatial.py)."""
         dtype = positions.dtype
         blen = jnp.diagonal(box)
-        if subset is not None:
-            positions = positions[subset]
-            charges = jnp.asarray(charges, dtype)[subset]
         if triclinic:
             from .triclinic import fractional_coords
 
@@ -169,8 +170,8 @@ def make_pme_reciprocal(
 
         grid0 = (
             jnp.zeros((Kx, Ky, Kz), jnp.float32)
-            if base_grid is None
-            else jnp.asarray(base_grid, jnp.float32)
+            if base is None
+            else jnp.asarray(base, jnp.float32)
         )
         if npad == chunk:
             grid, _ = chunk_body(grid0, (u_p, q_p))
@@ -180,7 +181,13 @@ def make_pme_reciprocal(
                 grid0,
                 (u_p.reshape(-1, chunk, 3), q_p.reshape(-1, chunk)),
             )
+        return grid
 
+    def energy_from_grid(grid, box):
+        """Reciprocal energy of an assembled charge grid: rFFT + influence
+        function + B-spline Euler factors."""
+        dtype = jnp.asarray(box).dtype
+        blen = jnp.diagonal(box)
         # real-input FFT: half spectrum along z with multiplicity weights
         # (2 for interior kz planes, 1 for kz = 0 and the Nyquist plane)
         fq = jnp.fft.rfftn(grid)
@@ -224,6 +231,16 @@ def make_pme_reciprocal(
         e = jnp.sum(influence * b2 * s2) * (units.ONE_4PI_EPS0 / (2.0 * math.pi * vol))
         return e
 
+    def recip_energy(positions, charges, box):
+        dtype = positions.dtype
+        if subset is not None:
+            positions = positions[subset]
+            charges = jnp.asarray(charges, dtype)[subset]
+        grid = spread_grid(positions, charges, box, base=base_grid)
+        return energy_from_grid(grid, box)
+
+    recip_energy.spread_grid = spread_grid
+    recip_energy.energy_from_grid = energy_from_grid
     return recip_energy
 
 
