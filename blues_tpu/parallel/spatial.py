@@ -1,30 +1,30 @@
 """Spatial (atom-dimension) sharding: the tensor-parallel analog.
 
-Shards the pair-sum and PME-spread COMPUTE of one system over a device
+Shards the pair-sum and PME-reciprocal work of one system over a device
 mesh axis (SURVEY.md 5.7: "spatial decomposition + distributed PME FFT
-over ICI is the only TP-like pattern"). Scope honesty: this distributes
-FLOPs, not memory — positions, the psum-assembled charge grid, and the
-FFT stay replicated per device. That is the right trade at the
-reference's <=50k-atom scale (a coordinate array is KBs; pair work and
-the spread dominate) and it is NOT yet a >=10M-atom single-system story:
-that regime additionally needs per-device position slices and a
-distributed (slab/pencil) FFT, which SURVEY.md 5.7 places out of scope
-for this baseline.
-
-Positions stay replicated (a 1M-atom coordinate array is 12 MB — tiny next
-to the O(N * N/D) pair work); what is sharded is the COMPUTE:
+over ICI is the only TP-like pattern"). Scope honesty: positions stay
+replicated per device (a 1M-atom coordinate array is 12 MB — tiny next to
+the O(N * N/D) pair work); what is distributed is the compute and, on the
+reciprocal path, the summed grid + FFT:
 
   * pair sum: each device evaluates a contiguous block of row tiles of the
     tiled kernel against all columns (identical per-pair math —
     potentials/pairs.py); energies and row forces are `psum`'d over ICI.
   * PME reciprocal: each device B-spline-spreads its atom slice onto a
-    local charge grid; `psum` assembles the full grid (a K^3 f32 array, a
-    few MB — the standard multi-device PME grid all-reduce), and the FFT +
-    influence sum run replicated (they are a tiny fraction of the pair
-    work at scale).
+    local charge grid; when the grid divides the mesh, the grids are
+    reduce-scattered into x-slabs and the FFT runs DISTRIBUTED (local
+    z/y transforms, `all_to_all` mesh transpose, local x transform,
+    per-device y-slice influence sums — pme.make_pme_reciprocal_sharded),
+    so no device holds the summed full grid or runs a full FFT;
+    otherwise the grids are `psum`'d and the FFT runs replicated.
   * bonded terms / exclusion corrections / self terms are cheap and run
     replicated, counted once via a 1/D weight inside the summed local
     lagrangian.
+
+A >=10M-atom single-system story would additionally shard the position
+array itself (per-device atom slices with halo exchange for the pair
+kernel); SURVEY.md 5.7 places that regime out of scope for the
+reference's <=50k-atom baseline.
 
 Autodiff runs *through* the collectives inside `shard_map` (the transpose
 of psum is well-defined), so forces come out exactly as in the single-chip
@@ -107,12 +107,23 @@ def make_spatial_force_fn(
     # term that was computed fully replicated (the spread), so reciprocal
     # compute now scales with the mesh like the pair sum does.
     sharded_recip = None
+    _e_slab = None
     if pme_params is not None:
-        from ..potentials.pme import make_pme_reciprocal
+        from ..potentials.pme import make_pme_reciprocal, make_pme_reciprocal_sharded
 
         _recip_full = make_pme_reciprocal(pme_params)
         _spread = _recip_full.spread_grid
         _efg = _recip_full.energy_from_grid
+        # distributed slab FFT when the grid divides the mesh: reduce-scatter
+        # into x-slabs + local FFTs + all_to_all transpose (no device ever
+        # holds the summed full grid or runs the full FFT); otherwise fall
+        # back to psum(full grid) + replicated FFT
+        Kx, Ky, _ = pme_params.grid
+        _e_slab = (
+            make_pme_reciprocal_sharded(pme_params, axis_name, ndev)
+            if (Kx % ndev == 0 and Ky % ndev == 0)
+            else None
+        )
         per_a = -(-n // ndev)
         idx_all = np.zeros((ndev, per_a), np.int32)
         mask_all = np.zeros((ndev, per_a), np.float32)
@@ -129,8 +140,10 @@ def make_spatial_force_fn(
             idx = idx_all_j[d]
             msk = mask_all_j[d].astype(positions.dtype)
             g_local = _spread(positions[idx], q_eff[idx] * msk, box)
-            grid = jax.lax.psum(g_local, axis_name)
             # unweighted: the worker's 1/D rest weight counts it once
+            if _e_slab is not None:
+                return _e_slab(g_local, box)
+            grid = jax.lax.psum(g_local, axis_name)
             return _efg(grid, box)
 
     # the full composed energy, used for the 'rest' terms (with the
@@ -251,16 +264,20 @@ def make_spatial_force_fn(
         return e_pair + e_rest
 
     # NOTE on PME: rest_energy's reciprocal term is the sharded_recip
-    # override above — per-device atom-slice spread, psum'd grid,
-    # replicated FFT/influence (counted once via the same 1/D weight).
-    # Still replicated per device: positions (12 MB at 1M atoms) and the
-    # FFT itself; a >=10M-atom single-system story would additionally want
-    # per-device position slices and a distributed (slab/pencil) FFT.
+    # override above — per-device atom-slice spread, then either the
+    # distributed slab FFT (grid divides the mesh) or psum'd grid +
+    # replicated FFT; counted once via the same 1/D weight. Only positions
+    # (12 MB at 1M atoms) remain replicated per device.
 
+    # check_vma only when the distributed slab FFT is off: jax 0.9's fft
+    # transpose rule drops the varying-axes tag, so grad-through-fft inside
+    # shard_map trips the static checker; agreement with the single-device
+    # path is pinned by tests/test_spatial.py instead
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
+        check_vma=(sharded_recip is None or _e_slab is None),
     )
     def sharded_ef(x, box, lam_s, f_na, f_aa, lam_e):
         e_local, g_local = jax.value_and_grad(worker)(

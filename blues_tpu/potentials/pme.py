@@ -244,6 +244,107 @@ def make_pme_reciprocal(
     return recip_energy
 
 
+def make_pme_reciprocal_sharded(params: PMEParams, axis_name: str, ndev: int):
+    """Distributed reciprocal energy for `shard_map` contexts (the spatial
+    atom-axis sharding in parallel/spatial.py).
+
+    Each device passes its LOCAL partial spread grid (full (Kx, Ky, Kz)
+    extent, covering only its atom slice's charges). The pipeline:
+
+      1. `psum_scatter` along grid-x: the partial grids are reduce-scattered
+         into per-device x-slabs (Kx/ndev, Ky, Kz) — half the bandwidth of
+         the psum(full grid) it replaces, and no device ever owns the
+         summed full grid.
+      2. local `rfft` over z and `fft` over y (full-extent local axes).
+      3. `all_to_all` mesh transpose: gather full x, scatter y →
+         (Kx, Ky/ndev, Kz//2+1) spectrum blocks.
+      4. local `fft` over x, then the influence sum over each device's
+         y-slice of the (b2 * influence) tables; scalar `psum`.
+
+    Returns fn(local_grid, box) -> full reciprocal energy (identical on
+    every device — count it once, e.g. via a 1/ndev replicated-term
+    weight). Forces flow through autodiff: the collectives are linear
+    (psum_scatter^T = all_gather, all_to_all^T = all_to_all), so the
+    gradient w.r.t. each device's local grid — and through it the device's
+    atom slice — is exact.
+
+    Requires Kx % ndev == 0 and Ky % ndev == 0 (2/3/5-smooth grids from
+    choose_pme_params are not always divisible — callers fall back to the
+    psum(full grid) + replicated-FFT path; see parallel/spatial.py).
+    Orthorhombic boxes only.
+    """
+    Kx, Ky, Kz = params.grid
+    order = params.order
+    alpha = params.alpha
+    if Kx % ndev or Ky % ndev:
+        raise ValueError(
+            f"PME grid ({Kx}, {Ky}, {Kz}) not divisible by mesh size {ndev} "
+            "along x and y; use the replicated-FFT path"
+        )
+    Sy = Ky // ndev
+
+    b2x = _euler_b2(Kx, order)
+    b2y = _euler_b2(Ky, order)
+    b2z = _euler_b2(Kz, order)
+
+    def modes(K):
+        m = np.arange(K)
+        return np.where(m <= K // 2, m, m - K).astype(np.float64)
+
+    mx, my, mz = modes(Kx), modes(Ky), modes(Kz)
+    kz_half = Kz // 2 + 1
+    mz_h = mz[:kz_half]
+    b2z_h = b2z[:kz_half]
+    mult = np.full(kz_half, 2.0)
+    mult[0] = 1.0
+    if Kz % 2 == 0:
+        mult[-1] = 1.0
+    # per-device y-slices of the mode/Euler tables, indexed by axis_index
+    my_sl = my.reshape(ndev, Sy)
+    b2y_sl = b2y.reshape(ndev, Sy)
+
+    def recip_energy_sharded(local_grid, box):
+        dtype = jnp.asarray(box).dtype
+        blen = jnp.diagonal(box)
+        d = jax.lax.axis_index(axis_name)
+
+        # partial grids -> summed x-slabs (Kx/ndev, Ky, Kz)
+        slab = jax.lax.psum_scatter(
+            local_grid, axis_name, scatter_dimension=0, tiled=True
+        )
+        f = jnp.fft.rfft(slab, axis=2)  # (Sx, Ky, kz_half) complex
+        f = jnp.fft.fft(f, axis=1)
+        # mesh transpose: device j's x-slab, y-chunk d -> device d; received
+        # blocks concatenate along x in device order = global x order
+        f = jax.lax.all_to_all(
+            f, axis_name, split_axis=1, concat_axis=0, tiled=True
+        )
+        f = jnp.fft.fft(f, axis=0)  # (Kx, Sy, kz_half)
+        s2 = jnp.real(f) ** 2 + jnp.imag(f) ** 2
+
+        m2 = (
+            (jnp.asarray(mx, dtype)[:, None, None] / blen[0]) ** 2
+            + (jnp.asarray(my_sl, dtype)[d][None, :, None] / blen[1]) ** 2
+            + (jnp.asarray(mz_h, dtype)[None, None, :] / blen[2]) ** 2
+        )
+        b2 = (
+            jnp.asarray(b2x, dtype)[:, None, None]
+            * jnp.asarray(b2y_sl, dtype)[d][None, :, None]
+            * jnp.asarray(b2z_h * mult, dtype)[None, None, :]
+        )
+        pi2 = math.pi * math.pi
+        influence = jnp.where(
+            m2 > 0, jnp.exp(-pi2 * m2 / (alpha * alpha)) / jnp.maximum(m2, 1e-12), 0.0
+        )
+        vol = blen[0] * blen[1] * blen[2]
+        e_part = jnp.sum(influence * b2 * jnp.asarray(s2, dtype)) * (
+            units.ONE_4PI_EPS0 / (2.0 * math.pi * vol)
+        )
+        return jax.lax.psum(e_part, axis_name)
+
+    return recip_energy_sharded
+
+
 def precompute_spread_grid(params: PMEParams, positions, charges, box):
     """Numpy/jax one-shot spreading for a fixed subset of atoms (the frozen
     background grid). Returns a (Kx, Ky, Kz) numpy array."""

@@ -169,15 +169,24 @@ def main():
                 "iter": i,
                 "wall_s": round(wall, 2),
                 "acceptance": float(acc.mean()),
-                "work_kT_mean": float(np.mean(w)),
-                "work_kT_median": float(np.median(w)),
+                # vetoed/clashed replicas carry NaN work (rejected by
+                # construction); stats are over the finite samples
+                "work_kT_mean": float(np.nanmean(w)) if np.isfinite(w).any() else None,
+                "work_kT_median": float(np.nanmedian(w)) if np.isfinite(w).any() else None,
+                "n_work_nan": int(np.sum(~np.isfinite(w))),
                 "log_accept_mean": float(np.mean(la[np.isfinite(la)])) if np.isfinite(la).any() else None,
                 "md_failed": int(np.asarray(stats.md_failed).sum()),
+                # do MD blowups (NaN -> rollback) hit the replicas whose
+                # move was just accepted (strained accepted poses), or
+                # random ones? diagnostic for 4 fs HMR stability
+                "md_failed_and_accepted": int(
+                    (np.asarray(stats.md_failed) & acc.astype(bool)).sum()
+                ),
             }
         )
         log(
             f"# iter {i}: acc {acc.mean():.3f} (cum {acc_total / max(n_total, 1):.3f}), "
-            f"median work {np.median(w):+.2f} kT, {wall:.1f}s"
+            f"median work {np.nanmedian(w) if np.isfinite(w).any() else float('nan'):+.2f} kT, {wall:.1f}s"
         )
         artifact = write_artifact()  # incremental: partial runs still commit
 
