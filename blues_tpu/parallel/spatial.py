@@ -299,6 +299,7 @@ def make_spatial_force_fn(
     force_fn.mesh = mesh
     force_fn.axis_name = axis_name
     force_fn.rows_per_device = per
+    force_fn.distributed_fft = _e_slab is not None
     return force_fn
 
 
