@@ -30,12 +30,14 @@ def log(m):
 
 
 def timeit_vscan(step, x0, R, n_inner=20, n_outer=3):
-    """step: (R, N, 3) -> (R, N, 3); scanned n_inner times in one jit."""
+    """step: (N, 3) -> (N, 3), vmapped over R replicas and scanned n_inner
+    times in one jit."""
+    vstep = jax.vmap(step)
 
     @jax.jit
     def scanned(c0):
         def body(c, _):
-            return step(c), None
+            return vstep(c), None
 
         return jax.lax.scan(body, c0, None, length=n_inner)[0]
 
