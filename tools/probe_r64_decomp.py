@@ -55,6 +55,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=64)
     ap.add_argument("--nsteps", type=int, default=50)
+    ap.add_argument("--backend", default=None)
     args = ap.parse_args()
     R = args.replicas
 
@@ -71,7 +72,7 @@ def main():
     from blues_tpu.potentials.energy import make_energy_fn, make_force_fn
     from blues_tpu.testsystems import t4_scale_binding_site_box
 
-    backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    backend = args.backend or ("pallas" if jax.default_backend() == "tpu" else "tiled")
     system, x0 = t4_scale_binding_site_box(n_atoms=22340)
     lig = system.topology.select_resname("LIG")
     bond_graph = np.concatenate(
