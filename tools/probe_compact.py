@@ -156,6 +156,57 @@ def main():
     comp_ms, w_comp = time_protocol(prot_m, xm0, vm0)
     log(f"# compacted protocol: {comp_ms:.3f} ms/step-batch ({1000.0 * R / comp_ms:.0f} sps)")
 
+    # ---- same-process component timings of the compacted step --------------
+    def timeit_vscan(step, x_init, n_inner=20, n_outer=3):
+        vstep = jax.vmap(step)
+
+        @jax.jit
+        def scanned(c0):
+            def body(c, _):
+                return vstep(c), None
+
+            return jax.lax.scan(body, c0, None, length=n_inner)[0]
+
+        xs = jnp.broadcast_to(x_init, (R,) + x_init.shape)
+        out = scanned(xs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_outer):
+            out = scanned(xs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / (n_outer * n_inner) * 1e3
+
+    g7 = {"lambda_sterics": jnp.float32(0.7), "lambda_electrostatics": jnp.float32(0.7)}
+    e0f0_ms = timeit_vscan(
+        lambda c: c + 1e-30 * efn_m.lambda_e0_f0(c, box)[1]
+        + 1e-30 * efn_m.lambda_e0_f0(c, box)[0], xm0
+    ) / 2.0
+    eafa_ms = timeit_vscan(
+        lambda c: c + 1e-30 * efn_m.lambda_ea_fa(c, box, g7)[1]
+        + 1e-30 * efn_m.lambda_ea_fa(c, box, g7)[0], xm0
+    ) / 2.0
+    log(f"# compact e0f0: {e0f0_ms:.3f} ms, eafa: {eafa_ms:.3f} ms (per step-batch)")
+
+    # dynamics-only: same protocol machinery with a free constant-force field
+    def efn_0(xm, box=None, globals_=None):
+        return jnp.zeros((), xm.dtype)
+
+    efn_0.lambda_e0_f0 = lambda xm, box=None: (
+        jnp.zeros((), xm.dtype), jnp.zeros_like(xm)
+    )
+    efn_0.lambda_ea_fa = lambda xm, box=None, g=None: (
+        jnp.zeros((), xm.dtype), jnp.zeros_like(xm)
+    )
+
+    def ffn_0(xm, box=None, globals_=None):
+        return jnp.zeros((), xm.dtype), jnp.zeros_like(xm)
+
+    prot_0 = make_ncmc_protocol(
+        efn_0, ffn_0, masses_m, params, cx_m, cv_m, schedule, move=move_m
+    )
+    dyn_ms, _ = time_protocol(prot_0, xm0, vm0)
+    log(f"# compact dynamics-only (zero force): {dyn_ms:.3f} ms/step-batch")
+
     kT = 8.31446261815324e-3 * 300.0
     fin_f = w_full[np.isfinite(w_full) & (np.abs(w_full) < 9e5)] / kT
     fin_c = w_comp[np.isfinite(w_comp) & (np.abs(w_comp) < 9e5)] / kT
@@ -167,6 +218,9 @@ def main():
     print(json.dumps({
         "replicas": R,
         "backend": backend,
+        "compact_e0f0_ms": round(e0f0_ms, 3),
+        "compact_eafa_ms": round(eafa_ms, 3),
+        "compact_dynamics_only_ms": round(dyn_ms, 3),
         "full_ms_per_step_batch": round(full_ms, 3),
         "compact_ms_per_step_batch": round(comp_ms, 3),
         "speedup": round(full_ms / comp_ms, 2),
