@@ -177,14 +177,17 @@ def main():
         return (time.perf_counter() - t0) / (n_outer * n_inner) * 1e3
 
     g7 = {"lambda_sterics": jnp.float32(0.7), "lambda_electrostatics": jnp.float32(0.7)}
-    e0f0_ms = timeit_vscan(
-        lambda c: c + 1e-30 * efn_m.lambda_e0_f0(c, box)[1]
-        + 1e-30 * efn_m.lambda_e0_f0(c, box)[0], xm0
-    ) / 2.0
-    eafa_ms = timeit_vscan(
-        lambda c: c + 1e-30 * efn_m.lambda_ea_fa(c, box, g7)[1]
-        + 1e-30 * efn_m.lambda_ea_fa(c, box, g7)[0], xm0
-    ) / 2.0
+
+    # ONE call per scan body (two calls with identical args get CSE'd by
+    # XLA, halving the apparent cost)
+    def _one(fn):
+        def step(c):
+            e, f = fn(c)
+            return c + 1e-30 * f + 1e-30 * e
+        return step
+
+    e0f0_ms = timeit_vscan(_one(lambda c: efn_m.lambda_e0_f0(c, box)), xm0)
+    eafa_ms = timeit_vscan(_one(lambda c: efn_m.lambda_ea_fa(c, box, g7)), xm0)
     log(f"# compact e0f0: {e0f0_ms:.3f} ms, eafa: {eafa_ms:.3f} ms (per step-batch)")
 
     # dynamics-only: same protocol machinery with a free constant-force field
