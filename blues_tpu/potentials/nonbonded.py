@@ -84,6 +84,46 @@ def _good_fft_size(n: int) -> int:
         n += 1
 
 
+def _no_image_geometry(x0, cols, rows, centers, radii, L, cutoff, margin=0.01):
+    """Eligibility + static shifts for the tiled kernel's no_min_image fast
+    path on a culled frozen system (tiled.make_tiled_pair_sum).
+
+    Soundness: a row position lives forever inside its permanent reach ball
+    (guard-poisoned on violation; teleporting moves disable culling); a
+    shifted frozen column position is constant. If for every possible
+    (row point p, column point q) pair and every dim d
+    |p_d - q_d| < L_d - cutoff, then (i) a pair whose minimum-image distance
+    is within the cutoff has raw == minimum image in every dim (a flipped
+    dim would need raw >= L - cutoff), and (ii) a pair whose raw distance is
+    within the cutoff IS the minimum image — so the raw-displacement cutoff
+    mask and the raw force displacement are both exact. Rows additionally
+    must contain their build positions WITHOUT wrap (the trajectory is
+    continuous and ball-bounded, so it can never migrate to a different
+    periodic image while the guard holds), and mobile columns must need no
+    shift (their runtime positions live in the balls' raw frame).
+
+    Returns (col_shifts (nc, 3), center (3,)) or None if ineligible."""
+    ctr = centers.mean(0)
+    s = -L * np.round((x0[cols] - ctr) / L)
+    in_rows = np.zeros(len(x0), bool)
+    in_rows[rows] = True
+    if s[in_rows[cols]].any():
+        return None
+    d0 = np.linalg.norm(x0[rows] - centers, axis=1)
+    if (d0 > radii + 1e-6).any():
+        return None
+    row_lo = (centers - radii[:, None]).min(0)
+    row_hi = (centers + radii[:, None]).max(0)
+    col_pts = x0[cols] + s
+    col_lo = col_pts.min(0)
+    col_hi = col_pts.max(0)
+    # max per-dim row-column offset over all reachable pairs
+    M = np.maximum(col_hi - row_lo, row_hi - col_lo)
+    if not np.all(M + margin < L - cutoff):
+        return None
+    return s, ctr
+
+
 def choose_pme_params(box_lengths, cutoff: float, tolerance: float = 5e-4, order: int = 5) -> PMEParams:
     alpha = ewald_alpha(cutoff, tolerance)
     grid = tuple(
@@ -678,6 +718,7 @@ def _make_pair_backend_energy(
     col_idx = None
     cull_guard = None
     cull_bounds = None
+    noimg = None
     if (
         active_rows is not None
         and frozen_ref_positions is not None
@@ -805,6 +846,10 @@ def _make_pair_backend_energy(
         if colmask.mean() <= 0.75:  # only cull when it actually pays
             col_idx = np.where(colmask)[0].astype(np.int32)
             cull_bounds = (rows_np.copy(), centers.copy(), radii.copy())
+            if Lnp is not None:
+                noimg = _no_image_geometry(
+                    x0, col_idx, rows_np, centers, radii, Lnp, cutoff
+                )
             rows_j = jnp.asarray(rows_np.astype(np.int32))
             centers_j = jnp.asarray(centers)
             radii2_j = jnp.asarray((radii + 1e-3) ** 2)
@@ -827,6 +872,31 @@ def _make_pair_backend_energy(
                 poison = jnp.where(bad, jnp.nan, 0.0)
                 return poison * (1.0 + 1e-30 * jnp.sum(positions))
 
+    # --- build-time exclusion masking for the no-min-image fast path --------
+    # The matmul-force identity cannot tolerate excluded bonded pairs in the
+    # kernel (their ~1e8 radial factors turn into ~10 kJ/mol/nm of f32 error
+    # the rest-term subtraction never sees — tiled.make_tiled_pair_sum).
+    # Mask them at build time; the rest term then skips subtracting them.
+    excl_mask_np = None
+    excl_prefiltered = None  # per-exclusion bool over nb.exclusions order
+    if noimg is not None and backend == "tiled":
+        _ex_all = np.asarray(nb.exclusions, np.int64).reshape(-1, 2)
+        rows_arr = np.asarray(active_rows, np.int64)
+        cols_arr = np.asarray(col_idx, np.int64)
+        rpos = np.full(n, -1, np.int64)
+        rpos[rows_arr] = np.arange(len(rows_arr))
+        cpos = np.full(n, -1, np.int64)
+        cpos[cols_arr] = np.arange(len(cols_arr))
+        excl_mask_np = np.zeros((len(rows_arr), len(cols_arr)), bool)
+        excl_prefiltered = np.zeros(len(_ex_all), bool)
+        if len(_ex_all):
+            i_, j_ = _ex_all[:, 0], _ex_all[:, 1]
+            m1 = (rpos[i_] >= 0) & (cpos[j_] >= 0)
+            m2 = (rpos[j_] >= 0) & (cpos[i_] >= 0)
+            excl_mask_np[rpos[i_[m1]], cpos[j_[m1]]] = True
+            excl_mask_np[rpos[j_[m2]], cpos[i_[m2]]] = True
+            excl_prefiltered = m1 | m2
+
     if backend == "pallas":
         from .pallas.pair_kernel import make_pallas_pair_sum
 
@@ -840,7 +910,15 @@ def _make_pair_backend_energy(
 
         pair_sum = make_verlet_pair_sum(feats, box0=box_for_pme, **common)
     else:
-        pair_sum = make_tiled_pair_sum(feats, col_idx=col_idx, **common)
+        pair_sum = make_tiled_pair_sum(
+            feats,
+            col_idx=col_idx,
+            no_min_image=noimg is not None,
+            col_shift=noimg[0] if noimg is not None else None,
+            center=noimg[1] if noimg is not None else None,
+            excl_mask=excl_mask_np,
+            **common,
+        )
 
     excl_all = np.asarray(nb.exclusions, np.int64).reshape(-1, 2)
     exc_idx_all = np.asarray(nb.exceptions_idx, np.int64).reshape(-1, 2)
@@ -872,6 +950,7 @@ def _make_pair_backend_energy(
         excl = excl_all[live_x]
         exc_idx = exc_idx_all[live_e]
         exc_param_keep = live_e
+        x_pref = excl_prefiltered[live_x] if excl_prefiltered is not None else None
         if method == PME and frozen_ref_positions is not None and len(excl_all):
             from scipy.special import erf as _erf
 
@@ -895,10 +974,12 @@ def _make_pair_backend_energy(
             # into a constant: keep the full list (correctness first)
             excl = excl_all
             exc_idx = exc_idx_all[live_e]
+            x_pref = excl_prefiltered  # None: noimg requires frozen_ref
     else:
         excl = excl_all
         exc_idx = exc_idx_all
         exc_param_keep = None
+        x_pref = None
 
     # precomputed per-exclusion-pair parameters (on the live subset)
     if len(excl):
@@ -914,6 +995,11 @@ def _make_pair_backend_energy(
         x_scale = (ai ^ aj) | ((ai & aj) & sc.annihilate_sterics)
         # subtract only pairs the row-compacted sum actually included
         x_included = in_rows_np[excl[:, 0]] | in_rows_np[excl[:, 1]]
+        if x_pref is not None:
+            # no-min-image fast path: these pairs were masked INSIDE the
+            # kernel at build time — nothing to subtract (the PME erf
+            # reciprocal correction below is separate and still applies)
+            x_included = x_included & ~x_pref
 
     def pair_factors(globals_, dtype):
         """globals dict -> the (lam_s, f_na, f_aa) triple the pair kernels
@@ -1084,6 +1170,7 @@ def _make_pair_backend_energy(
             else np.arange(n, dtype=np.int64)
         )
         rows0 = np.asarray([r for r in rows_full if r not in alch_set], np.int64)
+        pref0_live = None  # set when pair_sum0 masks exclusions at build time
         if len(rows0) == 0:
             # every mobile atom is alchemical: E0's pair sum is empty and
             # the split degenerates — Ea covers everything already
@@ -1116,7 +1203,38 @@ def _make_pair_backend_energy(
 
                     pair_sum0 = _mk0(feats0, col_idx=cols_na, **common0)
                 else:
-                    pair_sum0 = make_tiled_pair_sum(feats0, col_idx=cols_na, **common0)
+                    # cols_na is an (order-preserving) subset of col_idx, so
+                    # the no_min_image shifts slice straight through
+                    noimg0 = (None, None)
+                    excl_mask0 = None
+                    if noimg is not None:
+                        sel0 = np.searchsorted(
+                            np.asarray(col_idx, np.int64), cols_na
+                        )
+                        noimg0 = (noimg[0][sel0], noimg[1])
+                        # same build-time exclusion masking as the main
+                        # kernel, over the (rows0, cols_na) pair space
+                        r0pos = np.full(n, -1, np.int64)
+                        r0pos[rows0] = np.arange(len(rows0))
+                        c0pos = np.full(n, -1, np.int64)
+                        c0pos[cols_na] = np.arange(len(cols_na))
+                        excl_mask0 = np.zeros((len(rows0), len(cols_na)), bool)
+                        if len(excl):
+                            i_, j_ = excl[:, 0], excl[:, 1]
+                            m1 = (r0pos[i_] >= 0) & (c0pos[j_] >= 0)
+                            m2 = (r0pos[j_] >= 0) & (c0pos[i_] >= 0)
+                            excl_mask0[r0pos[i_[m1]], c0pos[j_[m1]]] = True
+                            excl_mask0[r0pos[j_[m2]], c0pos[i_[m2]]] = True
+                            pref0_live = m1 | m2
+                    pair_sum0 = make_tiled_pair_sum(
+                        feats0,
+                        col_idx=cols_na,
+                        no_min_image=noimg is not None,
+                        col_shift=noimg0[0],
+                        center=noimg0[1],
+                        excl_mask=excl_mask0,
+                        **common0,
+                    )
 
         # static gathered features for the alchemical blocks
         a_q = charges[alch_atoms_np]
@@ -1312,6 +1430,10 @@ def _make_pair_backend_energy(
             e_total = jnp.zeros((), dtype)
             if len(excl) and (~xa_sel).any():
                 sel = ~xa_sel
+                if pref0_live is not None:
+                    # pairs masked inside pair_sum0 at build time were never
+                    # computed — do not subtract them
+                    sel = sel & ~pref0_live
                 ex = excl[sel]
                 drx = positions[ex[:, 0]] - positions[ex[:, 1]]
                 if periodic and box is not None:
@@ -1399,6 +1521,9 @@ def _make_pair_backend_energy(
     energy.cull_info = (len(col_idx), n) if col_idx is not None else None
     #: (row_atom_ids, ball_centers, ball_radii) of the culling guard
     energy.cull_bounds = cull_bounds if col_idx is not None else None
+    #: True when the tiled kernel runs the no-minimum-image matmul-force
+    #: fast path (_no_image_geometry eligibility held)
+    energy.no_min_image = noimg is not None and backend == "tiled"
     #: neighbor-list hooks (verlet backend): drivers build a list once and
     #: apply it across steps, combining autodiffed rest-forces with the
     #: list kernel's analytic pair forces

@@ -96,13 +96,40 @@ def make_tiled_pair_sum(
     switch_distance: float = None,
     col_idx=None,
     alch_coulomb: bool = False,
+    no_min_image: bool = False,
+    col_shift=None,
+    center=None,
+    excl_mask=None,
 ):
     """Returns pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) with custom VJP
     on the energy (F reused as the pullback).
 
     col_idx: optional static global indices of the column subset (frozen-
     system column culling; caller guarantees completeness via a displacement
-    guard). None = all atoms."""
+    guard). None = all atoms.
+
+    no_min_image: skip the per-pair minimum-image wrap AND compute forces
+    via the matmul identity f_i = (x_i - c0) * sum_j g_ij - g @ (x_c - c0)
+    instead of contracting against the (rows, cols, 3) displacement tensor
+    (which XLA materializes for the einsum — the dominant HBM cost of the
+    frozen-production step at 64 replicas). Sound ONLY when the caller has
+    verified the spatial-extent condition (nonbonded._no_image_geometry):
+    every possible in-cutoff pair's raw displacement IS its minimum image,
+    and out-of-cutoff pairs have raw r2 > cutoff^2 (their g is masked to 0,
+    so they drop out of both matmuls exactly). ``col_shift`` (nc, 3) are
+    static lattice shifts applied to the gathered column positions (frozen
+    columns near a box face are moved to the image nearest the site);
+    ``center`` recenters coordinates in the identity to cut f32
+    cancellation. Requires col_idx (the culled frozen path).
+
+    excl_mask: static (n_rows_padded, ncpad) bool, True = this (row, col)
+    pair is an exclusion and must be SKIPPED at build time rather than
+    computed and subtracted afterwards. Required with no_min_image: an
+    excluded bonded pair's radial factor is ~1e8, and the matmul identity
+    turns that into eps * |g| * |x - c0| ~ 10 kJ/mol/nm of f32 force error
+    that the rest-term subtraction cannot cancel (it never saw it). The
+    caller must correspondingly NOT subtract these pairs in its exclusion
+    correction."""
     n, npad = feats.n_atoms, feats.n_padded
     nr, nr_pad = feats.n_rows, feats.n_rows_padded
     n_row_tiles = nr_pad // TILE
@@ -110,6 +137,9 @@ def make_tiled_pair_sum(
     ann = 1.0 if annihilate_sterics else 0.0
     use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
     full_cols = col_idx is None
+    if no_min_image and (full_cols or not use_cutoff):
+        raise ValueError("no_min_image requires a culled column subset and a cutoff")
+    c0_np = np.zeros(3) if center is None else np.asarray(center, np.float64)
     if not full_cols:
         cols_np = np.asarray(col_idx, np.int64)
         nc = len(cols_np)
@@ -120,6 +150,12 @@ def make_tiled_pair_sum(
         col_pad_pos = 1e3 * (1.0 + np.arange(ncpad - nc))
     else:
         nc, ncpad = n, npad
+    if excl_mask is not None:
+        em = np.asarray(excl_mask, bool)
+        if em.shape[0] > nr_pad or em.shape[1] > ncpad:
+            raise ValueError(f"excl_mask {em.shape} exceeds ({nr_pad}, {ncpad})")
+        excl_mask = np.zeros((nr_pad, ncpad), bool)
+        excl_mask[: em.shape[0], : em.shape[1]] = em
 
     def _pass(x, box, lam_s, f_na, f_aa):
         dtype = x.dtype
@@ -146,9 +182,12 @@ def make_tiled_pair_sum(
             qs_c, qa_c, sig_c, eps_c, af_c, inr_c = qs, qa, sig, eps, af, inr
         else:
             col_gid = jnp.asarray(col_gid_np, dtype)
+            xc_live = x[jnp.asarray(cols_pad_np[:nc])]
+            if col_shift is not None:
+                xc_live = xc_live + jnp.asarray(np.asarray(col_shift), dtype)
             xpc = jnp.concatenate(
                 [
-                    x[jnp.asarray(cols_pad_np[:nc])],
+                    xc_live,
                     jnp.asarray(col_pad_pos, dtype)[:, None] * jnp.ones(3, dtype),
                 ]
             )
@@ -162,16 +201,22 @@ def make_tiled_pair_sum(
         xr = xp[row_idx]  # (Nr_pad, 3)
         row_global = row_idx
 
+        c0 = jnp.asarray(c0_np, dtype)
+
         def row_block(carry, i0):
             e_acc = carry
             xi = jax.lax.dynamic_slice(xr, (i0, 0), (TILE, 3))
             gidx = jax.lax.dynamic_slice(row_global, (i0,), (TILE,))
             dr = xi[:, None, :] - xpc[None, :, :]
-            if periodic and blen is not None:
+            if periodic and blen is not None and not no_min_image:
                 dr = dr - blen * jnp.round(dr / blen)
             r2 = jnp.sum(dr * dr, -1)
             local = i0 + jnp.arange(TILE)
             valid = (gidx[:, None] != col_gid[None, :]) & (local[:, None] < nr)
+            if excl_mask is not None:
+                valid = valid & ~jax.lax.dynamic_slice(
+                    jnp.asarray(excl_mask), (i0, 0), (TILE, excl_mask.shape[1])
+                )
             if use_cutoff:
                 valid = valid & (r2 < cutoff * cutoff)
             r2 = jnp.maximum(r2, 1e-6)
@@ -199,7 +244,19 @@ def make_tiled_pair_sum(
             )
             e = jnp.where(valid, e, 0.0)
             g = jnp.where(valid, g, 0.0)
-            f_i = -jnp.einsum("ij,ijd->id", g, dr)
+            if no_min_image:
+                # f_i = -sum_j g_ij dr_ijd with dr = xi - xc exactly (no
+                # wrap needed for unmasked pairs; masked pairs have g = 0):
+                # two MXU contractions instead of materializing the
+                # (TILE, ncols, 3) tensor for the einsum. Recentered at c0
+                # so the two partial sums stay small (f32 cancellation).
+                gsum = jnp.sum(g, axis=1, keepdims=True)
+                f_i = -(
+                    (xi - c0) * gsum
+                    - jnp.dot(g, xpc - c0, preferred_element_type=dtype)
+                )
+            else:
+                f_i = -jnp.einsum("ij,ijd->id", g, dr)
             # row-row pairs appear from both sides (0.5); row-frozen once (1.0)
             wcol = 1.0 - 0.5 * sl(inr)[:, None] * inr_c[None, :]
             e_acc = e_acc + jnp.sum(wcol * e)
