@@ -99,6 +99,16 @@ class SimulationConfig:
     #: RNG stream to the monolithic path (tests/test_segmented_driver.py).
     #: Unsupported with pressure (NPT) or md_report_interval frames.
     max_steps_per_dispatch: Optional[int] = None
+    #: mobile-state compaction for frozen systems (simulation/compact.py):
+    #: the NCMC/MD dynamics runs on (n_mobile, 3) arrays; the full array is
+    #: reconstructed once per force eval from the frozen reference frame.
+    #: "auto" = compact whenever eligible (frozen refs present, no
+    #: boundary-straddling constraints, non-teleporting remappable move,
+    #: no barostat/verlet); False disables; True requires (raises when
+    #: ineligible). Identical physics through the same composed energy
+    #: function; the dynamics RNG stream differs from the full-array path
+    #: (noise is drawn per mobile atom, not per atom).
+    frozen_compact: object = "auto"
 
 
 @pytree_dataclass
@@ -255,6 +265,64 @@ class BLUESSimulation:
             )
         else:
             self._barostat = None
+
+        # --- mobile-state compaction (simulation/compact.py) ---------------
+        # On the frozen production protocol only ~0.5% of atoms move; the
+        # dynamics then runs on (n_mobile, 3) arrays and the full array is
+        # rebuilt once per force eval. Protocol/MD machinery is rebuilt on
+        # the compacted subsystem; iteration-level bookkeeping (correction
+        # energies, frames, accept/reject) stays in full coordinates.
+        self._compact = None
+        if config.frozen_compact:
+            from .compact import build_mobile_compaction
+
+            comp = build_mobile_compaction(
+                system, self.energy_alch, self.force_alch, move
+            )
+            eligible = (
+                comp is not None
+                and self._barostat is None
+                and self._md_nlist is None
+            )
+            if config.frozen_compact is True and not eligible:
+                raise ValueError(
+                    "frozen_compact=True but the system/move is not "
+                    "compaction-eligible (needs frozen reference positions, "
+                    "no boundary-straddling constraints, a non-teleporting "
+                    "remappable move, no barostat, no verlet neighbor lists)"
+                )
+            if eligible:
+                self._compact = comp
+                mob_j = jnp.asarray(comp.mobile_idx)
+                cx_m, cv_m = make_constraint_fns(
+                    comp.constraints_m,
+                    comp.masses_m,
+                    tol=config.constraint_tolerance,
+                )
+                self._constrain_m = (cx_m, cv_m)
+                self.protocol_fn_m = make_ncmc_protocol(
+                    comp.efn_m,
+                    comp.ffn_m,
+                    comp.masses_m,
+                    lp,
+                    cx_m,
+                    cv_m,
+                    self.schedule,
+                    move=comp.move_m,
+                    record_micro=record_micro,
+                    splitting=config.splitting,
+                    lambda_split=config.lambda_split,
+                )
+
+                def ffn_md_m(xm, box=None, globals_=None, _f=self.force_md):
+                    e, f = _f(comp.expand(xm), box, globals_)
+                    return e, f[mob_j]
+
+                self._ffn_md_m = ffn_md_m
+                self._md_step_m = make_md_step(
+                    ffn_md_m, comp.masses_m, lp, cx_m, cv_m
+                )
+
         self._iteration = self._build_iteration()
         if config.n_replicas > 1:
             self._iteration = jax.vmap(self._iteration, in_axes=(0, 0))
@@ -286,12 +354,12 @@ class BLUESSimulation:
         self.move_stats = np.zeros((n_moves, 2))
 
     # ------------------------------------------------------------------
-    def _make_md_runner(self):
+    def _make_md_runner(self, md_step=None, md_nlist="default"):
         """run_md_steps(inner, k): k BAOAB steps on an (x, v, f, key, box)
         carry; with the verlet backend, the neighbor list is rebuilt every
         nlist_rebuild_interval steps and reused in between."""
-        md_step = self._md_step
-        md_nlist = self._md_nlist
+        md_step = self._md_step if md_step is None else md_step
+        md_nlist = self._md_nlist if md_nlist == "default" else md_nlist
         R = max(1, self.cfg.nlist_rebuild_interval)
 
         def run_md_steps(inner, k):
@@ -328,6 +396,94 @@ class BLUESSimulation:
         interval = cfg.md_report_interval
 
         has_barostat = self._barostat is not None
+        comp = self._compact
+
+        def iteration_compact(x, v, box, key, bstate):
+            """Same accounting as `iteration` below, with the NCMC/MD
+            dynamics on the compacted mobile state (simulation/compact.py).
+            Full coordinates appear only at iteration-level bookkeeping;
+            frozen entries are taken from the traced input x (bitwise
+            faithful — they equal the frozen reference frame by the frozen
+            invariant)."""
+            mob_j = jnp.asarray(comp.mobile_idx)
+            key, k_acc, k_vel = jax.random.split(key, 3)
+
+            e_md0 = energy_md(x, box, None)
+            res = self.protocol_fn_m(x[mob_j], v[mob_j], box, key)
+            key = res.rng_key
+            res_pos_full = x.at[mob_j].set(res.positions)
+
+            e_md1 = energy_md(res_pos_full, box, None)
+            correction = -((res.e_initial - e_md0) + (e_md1 - res.e_final)) / kT
+            log_accept = res.log_accept + correction
+            finite = jnp.isfinite(log_accept)
+            rand = jnp.log(jax.random.uniform(k_acc, (), x.dtype))
+            accepted = finite & (log_accept > rand)
+            x = jnp.where(accepted, res_pos_full, x)
+
+            # resample velocities for the MOBILE subset only (frozen
+            # velocities are identically zero)
+            vm = maxwell_boltzmann_velocities(
+                k_vel, comp.masses_m, cfg.temperature, x.dtype
+            )
+            xm = x[mob_j]
+            vm = self._constrain_m[1](vm, xm)
+
+            xm_keep, vm_keep = xm, vm
+            _, fm0 = self._ffn_md_m(xm, box, None)
+            chunk_size = interval if interval is not None else max(n_md, 1)
+            chunk_size = max(min(chunk_size, max(n_md, 1)), 1)
+            n_chunks = n_md // chunk_size if n_md > 0 else 0
+            n_rem = n_md - n_chunks * chunk_size
+
+            run_md_steps = self._make_md_runner(
+                md_step=self._md_step_m, md_nlist=None
+            )
+
+            def chunk(carry, _):
+                xm, vm, fm, key, box = carry
+                xm, vm, fm, key, box = run_md_steps((xm, vm, fm, key, box), chunk_size)
+                return (xm, vm, fm, key, box), xm
+
+            frames = None
+            carry = (xm, vm, fm0, key, box)
+            if n_chunks > 0:
+                carry, frames_m = jax.lax.scan(chunk, carry, None, length=n_chunks)
+                if interval is not None:
+                    frames = jax.vmap(lambda fm: x.at[mob_j].set(fm))(frames_m)
+            if n_rem > 0:
+                carry = run_md_steps(carry, n_rem)
+            xm, vm, _, key, box = carry
+
+            e_md_end = energy_md(x.at[mob_j].set(xm), box, None)
+            md_ok = jnp.isfinite(e_md_end) & jnp.all(jnp.isfinite(xm))
+            xm = jnp.where(md_ok, xm, xm_keep)
+            vm = jnp.where(md_ok, vm, vm_keep)
+            x = x.at[mob_j].set(xm)
+            v = jnp.zeros_like(v).at[mob_j].set(vm)
+
+            aux = res.move_aux
+            selected = (
+                aux["selected"]
+                if isinstance(aux, dict) and "selected" in aux
+                else jnp.zeros((), jnp.int32)
+            )
+            stats = IterationStats(
+                accepted=accepted,
+                protocol_work=res.protocol_work,
+                correction=correction,
+                log_accept=log_accept,
+                md_potential=e_md_end,
+                ncmc_potential=res.e_final,
+                mid_work=res.mid_work,
+                selected_move=selected,
+                md_failed=~md_ok,
+            )
+            snaps = res.snapshots
+            if snaps is not None:
+                snaps = jax.vmap(lambda sm: x.at[mob_j].set(sm))(snaps)
+            ncmc_frames = NCMCFrames(snaps, res.snapshot_work)
+            return (x, v, box, key), stats, frames, ncmc_frames, bstate
 
         def iteration(x, v, box, key, bstate):
             key, k_acc, k_vel = jax.random.split(key, 3)
@@ -428,7 +584,8 @@ class BLUESSimulation:
             else:
                 x, v, box = state_in
                 bstate = None
-            out, stats, frames, ncmc_frames, bstate = iteration(x, v, box, keys, bstate)
+            it = iteration_compact if comp is not None else iteration
+            out, stats, frames, ncmc_frames, bstate = it(x, v, box, keys, bstate)
             x, v, box, key = out
             state_out = (x, v, box, bstate, key) if has_barostat else (x, v, box, key)
             return state_out, stats, frames, ncmc_frames
@@ -450,21 +607,42 @@ class BLUESSimulation:
         masses = self.system.masses
         kT = self._kT
         cv = self._constrain[1]
+        comp = self._compact
 
-        staged = make_ncmc_protocol_staged(
-            self.energy_alch,
-            self.force_alch,
-            masses,
-            self.langevin_params,
-            self._constrain[0],
-            cv,
-            self.schedule,
-            move=self.move,
-            record_micro=record_micro,
-            splitting=cfg.splitting,
-            lambda_split=cfg.lambda_split,
-            seg_len=cfg.max_steps_per_dispatch,
-        )
+        if comp is None:
+            staged = make_ncmc_protocol_staged(
+                self.energy_alch,
+                self.force_alch,
+                masses,
+                self.langevin_params,
+                self._constrain[0],
+                cv,
+                self.schedule,
+                move=self.move,
+                record_micro=record_micro,
+                splitting=cfg.splitting,
+                lambda_split=cfg.lambda_split,
+                seg_len=cfg.max_steps_per_dispatch,
+            )
+        else:
+            # compacted staging (simulation/compact.py): the carry, the MD
+            # chunks, and the snapshots are all (n_mobile, 3); full arrays
+            # appear only in the pre/accept/close bookkeeping stages
+            staged = make_ncmc_protocol_staged(
+                comp.efn_m,
+                comp.ffn_m,
+                comp.masses_m,
+                self.langevin_params,
+                self._constrain_m[0],
+                self._constrain_m[1],
+                self.schedule,
+                move=comp.move_m,
+                record_micro=record_micro,
+                splitting=cfg.splitting,
+                lambda_split=cfg.lambda_split,
+                seg_len=cfg.max_steps_per_dispatch,
+            )
+            mob_j = jnp.asarray(comp.mobile_idx)
 
         def vm(fn, in_axes):
             return jax.jit(jax.vmap(fn, in_axes=in_axes) if R > 1 else fn)
@@ -473,20 +651,72 @@ class BLUESSimulation:
             key, k_acc, k_vel = jax.random.split(key, 3)
             return energy_md(x, box, None), key, k_acc, k_vel
 
-        def accept(x_old, x_new, box, e_md0, e0, e_final, pw, k_acc, k_vel):
-            e_md1 = energy_md(x_new, box, None)
-            correction = -((e0 - e_md0) + (e_md1 - e_final)) / kT
-            log_accept = -pw / kT + correction
-            finite = jnp.isfinite(log_accept)
-            rand = jnp.log(jax.random.uniform(k_acc, (), x_old.dtype))
-            accepted = finite & (log_accept > rand)
-            x = jnp.where(accepted, x_new, x_old)
-            v = maxwell_boltzmann_velocities(k_vel, masses, cfg.temperature, x.dtype)
-            v = cv(v, x)
-            _, f0 = force_md(x, box, None)
-            return x, v, f0, accepted, correction, log_accept
+        run_md_steps = self._make_md_runner(
+            md_step=None if comp is None else self._md_step_m,
+            md_nlist="default" if comp is None else None,
+        )
 
-        run_md_steps = self._make_md_runner()
+        if comp is None:
+
+            def init_stage(x, v, box, key):
+                return staged.init_fn(x, v, box, key)
+
+            def accept(x_old, x_new, box, e_md0, e0, e_final, pw, k_acc, k_vel):
+                e_md1 = energy_md(x_new, box, None)
+                correction = -((e0 - e_md0) + (e_md1 - e_final)) / kT
+                log_accept = -pw / kT + correction
+                finite = jnp.isfinite(log_accept)
+                rand = jnp.log(jax.random.uniform(k_acc, (), x_old.dtype))
+                accepted = finite & (log_accept > rand)
+                x = jnp.where(accepted, x_new, x_old)
+                v = maxwell_boltzmann_velocities(k_vel, masses, cfg.temperature, x.dtype)
+                v = cv(v, x)
+                _, f0 = force_md(x, box, None)
+                return x, x, v, f0, accepted, correction, log_accept
+
+            def md_close(x_full, x_md, v_md, box, x_keep, v_keep):
+                e_md_end = energy_md(x_md, box, None)
+                md_ok = jnp.isfinite(e_md_end) & jnp.all(jnp.isfinite(x_md))
+                x = jnp.where(md_ok, x_md, x_keep)
+                v = jnp.where(md_ok, v_md, v_keep)
+                return x, v, e_md_end, md_ok
+
+            def expand_snap(x, sm):
+                return sm
+
+        else:
+
+            def init_stage(x, v, box, key):
+                return staged.init_fn(x[mob_j], v[mob_j], box, key)
+
+            def accept(x_old, xm_new, box, e_md0, e0, e_final, pw, k_acc, k_vel):
+                x_new = x_old.at[mob_j].set(xm_new)
+                e_md1 = energy_md(x_new, box, None)
+                correction = -((e0 - e_md0) + (e_md1 - e_final)) / kT
+                log_accept = -pw / kT + correction
+                finite = jnp.isfinite(log_accept)
+                rand = jnp.log(jax.random.uniform(k_acc, (), x_old.dtype))
+                accepted = finite & (log_accept > rand)
+                x = jnp.where(accepted, x_new, x_old)
+                xm = x[mob_j]
+                vmv = maxwell_boltzmann_velocities(
+                    k_vel, comp.masses_m, cfg.temperature, x.dtype
+                )
+                vmv = self._constrain_m[1](vmv, xm)
+                _, fm0 = self._ffn_md_m(xm, box, None)
+                return x, xm, vmv, fm0, accepted, correction, log_accept
+
+            def md_close(x_full, xm_md, vm_md, box, xm_keep, vm_keep):
+                e_md_end = energy_md(x_full.at[mob_j].set(xm_md), box, None)
+                md_ok = jnp.isfinite(e_md_end) & jnp.all(jnp.isfinite(xm_md))
+                xm = jnp.where(md_ok, xm_md, xm_keep)
+                vmv = jnp.where(md_ok, vm_md, vm_keep)
+                x = x_full.at[mob_j].set(xm)
+                v = jnp.zeros_like(x_full).at[mob_j].set(vmv)
+                return x, v, e_md_end, md_ok
+
+            def expand_snap(x, sm):
+                return x.at[mob_j].set(sm)
 
         def make_md_chunk(k):
             def chunkf(x, v, f, key, box):
@@ -501,24 +731,18 @@ class BLUESSimulation:
             md_plan.append(n_md % L)
         md_chunk = {k: make_md_chunk(k) for k in sorted(set(md_plan))}
 
-        def md_close(x_md, v_md, box, x_keep, v_keep):
-            e_md_end = energy_md(x_md, box, None)
-            md_ok = jnp.isfinite(e_md_end) & jnp.all(jnp.isfinite(x_md))
-            x = jnp.where(md_ok, x_md, x_keep)
-            v = jnp.where(md_ok, v_md, v_keep)
-            return x, v, e_md_end, md_ok
-
         return {
             "staged": staged,
             "pre": vm(pre, (0, 0, 0)),
-            "init": vm(staged.init_fn, (0, 0, 0, 0)),
+            "init": vm(init_stage, (0, 0, 0, 0)),
             "seg": vm(staged.seg_fn, (0, None)),
             "move": vm(staged.move_fn, (0, 0)),
             "close": vm(staged.close_fn, (0, 0)),
             "accept": vm(accept, (0, 0, 0, 0, 0, 0, 0, 0, 0)),
             "md_plan": md_plan,
             "md_chunk": md_chunk,
-            "md_close": vm(md_close, (0, 0, 0, 0, 0)),
+            "md_close": vm(md_close, (0, 0, 0, 0, 0, 0)),
+            "expand_snap": vm(expand_snap, (0, 0)),
         }
 
     def _run_iteration_segmented(self):
@@ -540,14 +764,14 @@ class BLUESSimulation:
                 carry, aux = sg["move"](carry, aux)
                 mid_w = st.work_of(carry)
             else:  # snap
-                snaps.append(st.positions_of(carry))
+                snaps.append(sg["expand_snap"](x, st.positions_of(carry)))
                 snap_works.append(st.work_of(carry))
         x_nc, _v_nc, key, pw, e_final, work_end = sg["close"](carry, aux)
         if st.record_final:
-            snaps.append(x_nc)
+            snaps.append(sg["expand_snap"](x, x_nc))
             snap_works.append(work_end)
 
-        x2, v2, f0, accepted, correction, log_accept = sg["accept"](
+        x2full, x2, v2, f0, accepted, correction, log_accept = sg["accept"](
             x, x_nc, box, e_md0, e0, e_final, pw, k_acc, k_vel
         )
 
@@ -555,7 +779,7 @@ class BLUESSimulation:
         for k in sg["md_plan"]:
             mc = sg["md_chunk"][k](*mc)
         x3, v3, _f3, key, box = mc
-        x_fin, v_fin, e_md_end, md_ok = sg["md_close"](x3, v3, box, x2, v2)
+        x_fin, v_fin, e_md_end, md_ok = sg["md_close"](x2full, x3, v3, box, x2, v2)
 
         R = cfg.n_replicas
         if isinstance(aux, dict) and "selected" in aux:
