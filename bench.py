@@ -12,9 +12,11 @@ The headline aggregates 64 vmapped replicas on the one chip (the
 BASELINE.json design point; replica scaling is near-linear: measured
 147 / 327 / 578 / 1047 / 1759 sps at 1 / 8 / 16 / 32 / 64 replicas).
 Each switching step is a full "H V R O R V H" BAOAB micro-step of the
-lambda protocol — softcore LJ + PME electrostatics energy AND forces twice
-per step — run as a jit-scanned protocol on one chip via the Pallas pair
-kernel + MXU PME.
+lambda protocol — softcore LJ + PME electrostatics energy AND forces —
+run as a jit-scanned protocol on one chip via the tiled pair kernel
+(no-min-image matmul-force fast path + build-time exclusion masking),
+MXU PME, lambda-split micro-step caching, and mobile-state compaction
+(the dynamics runs on the ~121 mobile atoms).
 
 Secondary data in the same JSON line:
   * real-prmtop datum: the unfrozen watDivaline system (2,591 atoms,
@@ -110,9 +112,29 @@ def ncmc_protocol_sps(
     params = LangevinParams(dt=dt, friction=1.0, temperature=300.0)
     schedule = build_ncmc_schedule(NSTEPS_NC)
     move = RandomLigandRotationMove(lig, system.masses)
-    protocol = make_ncmc_protocol(
-        efn, ffn, system.masses, params, cx, cv, schedule, move=move
-    )
+
+    # mobile-state compaction (simulation/compact.py): on the frozen
+    # production system the dynamics runs on (n_mobile, 3) arrays — the
+    # same product path the driver's frozen_compact='auto' takes
+    from blues_tpu.simulation.compact import build_mobile_compaction
+
+    comp = build_mobile_compaction(system, efn, ffn, move)
+    if comp is not None:
+        log(f"#   mobile compaction: {len(comp.mobile_idx)}/{system.n_atoms} atoms")
+        cx_m, cv_m = make_constraint_fns(comp.constraints_m, comp.masses_m)
+        protocol_m = make_ncmc_protocol(
+            comp.efn_m, comp.ffn_m, comp.masses_m, params, cx_m, cv_m,
+            schedule, move=comp.move_m,
+        )
+        mob_j = jnp.asarray(comp.mobile_idx)
+
+        def protocol(xf, vf, box, key, _p=protocol_m):
+            return _p(xf[mob_j], vf[mob_j], box, key)
+
+    else:
+        protocol = make_ncmc_protocol(
+            efn, ffn, system.masses, params, cx, cv, schedule, move=move
+        )
     protocol_j = jax.jit(protocol)
 
     # per-micro-step useful-flop estimate for the MFU line: pair-kernel
@@ -270,7 +292,11 @@ def watdivaline_sps():
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    backend = "pallas" if on_tpu else "tiled"
+    # frozen protocol: tiled — its no-min-image matmul-force fast path +
+    # build-time exclusion masking beats the pallas O(N^2) sweep on culled
+    # frozen systems (and is ~5000x more f32-accurate); unfrozen evals
+    # still measure pallas/cells below
+    backend = "tiled"
 
     system, x0, flavor = build_flagship()
     lig = system.topology.select_resname("LIG")
@@ -321,7 +347,7 @@ def main():
 
     # unfrozen full-system eval: O(N^2) kernel vs O(N) cell list
     evals = {}
-    for b in ([backend, "cells"] if on_tpu else ["cells", "tiled"]):
+    for b in (["pallas", "cells"] if on_tpu else ["cells", "tiled"]):
         ms = unfrozen_eval_ms(system, x0, b, n_rep=10 if on_tpu else 2)
         if ms is not None:
             evals[b] = round(ms, 2)

@@ -304,6 +304,7 @@ def create_simulation(config, move=None, n_replicas: int = 1):
             if sim_cfg.get("max_steps_per_dispatch")
             else None
         ),
+        frozen_compact=sim_cfg.get("frozen_compact", "auto"),
     )
     sim = BLUESSimulation(system, move, config_obj)
     if positions is not None:

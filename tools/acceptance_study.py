@@ -79,7 +79,7 @@ def main():
         warnings.simplefilter("ignore")
         fs = system.freeze_radius(np.asarray(x0), lig, 0.5)
     mobile = int((fs.masses > 0).sum())
-    backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    backend = "tiled"  # no-min-image fast path (frozen culled systems)
     log(f"# system {system.n_atoms} atoms, {mobile} mobile; backend={backend}")
 
     cfg = SimulationConfig(
