@@ -719,6 +719,7 @@ def _make_pair_backend_energy(
     cull_guard = None
     cull_bounds = None
     noimg = None
+    col_const = col_msel = col_mgid = None
     if (
         active_rows is not None
         and frozen_ref_positions is not None
@@ -850,6 +851,12 @@ def _make_pair_backend_energy(
                 noimg = _no_image_geometry(
                     x0, col_idx, rows_np, centers, radii, Lnp, cutoff
                 )
+            # frozen column positions are constants for all time: bake them
+            # (with any no-min-image shifts) so the kernel gathers only the
+            # few mobile columns from the runtime array
+            col_const = x0[col_idx] + (noimg[0] if noimg is not None else 0.0)
+            col_msel = np.where(in_rows_np[col_idx])[0]
+            col_mgid = col_idx[col_msel].astype(np.int64)
             rows_j = jnp.asarray(rows_np.astype(np.int32))
             centers_j = jnp.asarray(centers)
             radii2_j = jnp.asarray((radii + 1e-3) ** 2)
@@ -917,6 +924,9 @@ def _make_pair_backend_energy(
             col_shift=noimg[0] if noimg is not None else None,
             center=noimg[1] if noimg is not None else None,
             excl_mask=excl_mask_np,
+            col_const_positions=col_const,
+            col_mobile_sel=col_msel,
+            col_mobile_gid=col_mgid,
             **common,
         )
 
@@ -1204,9 +1214,18 @@ def _make_pair_backend_energy(
                     pair_sum0 = _mk0(feats0, col_idx=cols_na, **common0)
                 else:
                     # cols_na is an (order-preserving) subset of col_idx, so
-                    # the no_min_image shifts slice straight through
+                    # the no_min_image shifts and const columns slice
+                    # straight through
                     noimg0 = (None, None)
                     excl_mask0 = None
+                    col_const0 = col_msel0 = col_mgid0 = None
+                    if col_const is not None:
+                        sel0c = np.searchsorted(
+                            np.asarray(col_idx, np.int64), cols_na
+                        )
+                        col_const0 = col_const[sel0c]
+                        col_msel0 = np.where(in_rows_np[cols_na])[0]
+                        col_mgid0 = cols_na[col_msel0].astype(np.int64)
                     if noimg is not None:
                         sel0 = np.searchsorted(
                             np.asarray(col_idx, np.int64), cols_na
@@ -1233,6 +1252,9 @@ def _make_pair_backend_energy(
                         col_shift=noimg0[0],
                         center=noimg0[1],
                         excl_mask=excl_mask0,
+                        col_const_positions=col_const0,
+                        col_mobile_sel=col_msel0,
+                        col_mobile_gid=col_mgid0,
                         **common0,
                     )
 

@@ -100,6 +100,9 @@ def make_tiled_pair_sum(
     col_shift=None,
     center=None,
     excl_mask=None,
+    col_const_positions=None,
+    col_mobile_sel=None,
+    col_mobile_gid=None,
 ):
     """Returns pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) with custom VJP
     on the energy (F reused as the pullback).
@@ -121,6 +124,14 @@ def make_tiled_pair_sum(
     columns near a box face are moved to the image nearest the site);
     ``center`` recenters coordinates in the identity to cut f32
     cancellation. Requires col_idx (the culled frozen path).
+
+    col_const_positions: (nc, 3) static column positions (frozen atoms
+    never move, so the caller bakes them — including any col_shift — as a
+    compile-time constant); col_mobile_sel/col_mobile_gid then name the
+    (few) mobile columns to refresh from the runtime array. Removes the
+    per-eval (nc,) gather over the full position array. Exactly
+    equivalent: the kernel's custom VJP returns analytic ROW forces only,
+    so column positions never carry gradient.
 
     excl_mask: static (n_rows_padded, ncpad) bool, True = this (row, col)
     pair is an exclusion and must be SKIPPED at build time rather than
@@ -182,9 +193,16 @@ def make_tiled_pair_sum(
             qs_c, qa_c, sig_c, eps_c, af_c, inr_c = qs, qa, sig, eps, af, inr
         else:
             col_gid = jnp.asarray(col_gid_np, dtype)
-            xc_live = x[jnp.asarray(cols_pad_np[:nc])]
-            if col_shift is not None:
-                xc_live = xc_live + jnp.asarray(np.asarray(col_shift), dtype)
+            if col_const_positions is not None:
+                xc_live = jnp.asarray(np.asarray(col_const_positions), dtype)
+                if col_mobile_sel is not None and len(col_mobile_sel):
+                    xc_live = xc_live.at[jnp.asarray(col_mobile_sel)].set(
+                        x[jnp.asarray(col_mobile_gid)]
+                    )
+            else:
+                xc_live = x[jnp.asarray(cols_pad_np[:nc])]
+                if col_shift is not None:
+                    xc_live = xc_live + jnp.asarray(np.asarray(col_shift), dtype)
             xpc = jnp.concatenate(
                 [
                     xc_live,
