@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--replicas", type=int, default=64)
     ap.add_argument("--nsteps", type=int, default=50)
     ap.add_argument("--backend", default=None)
+    ap.add_argument(
+        "--skip-full", action="store_true",
+        help="skip the (compile-heavy) uncompacted full-array protocol",
+    )
     args = ap.parse_args()
     R = args.replicas
 
@@ -105,8 +109,12 @@ def main():
     prot_full = make_ncmc_protocol(efn, ffn, fs.masses, params, cx, cv, schedule, move=move)
     kv, _ = jax.random.split(key0)
     v0 = cv(maxwell_boltzmann_velocities(kv, fs.masses, 300.0), x)
-    full_ms, w_full = time_protocol(prot_full, x, v0)
-    log(f"# full protocol: {full_ms:.3f} ms/step-batch ({1000.0 * R / full_ms:.0f} sps)")
+    if args.skip_full:
+        full_ms, w_full = float("nan"), np.full(R, np.nan)
+        log("# full protocol: skipped (--skip-full)")
+    else:
+        full_ms, w_full = time_protocol(prot_full, x, v0)
+        log(f"# full protocol: {full_ms:.3f} ms/step-batch ({1000.0 * R / full_ms:.0f} sps)")
 
     # ---- mobile-compacted protocol -----------------------------------------
     is_alch = np.zeros(fs.n_atoms, bool)
@@ -190,6 +198,25 @@ def main():
     eafa_ms = timeit_vscan(_one(lambda c: efn_m.lambda_ea_fa(c, box, g7)), xm0)
     log(f"# compact e0f0: {e0f0_ms:.3f} ms, eafa: {eafa_ms:.3f} ms (per step-batch)")
 
+    # PME reciprocal E+F alone (frozen background grid + mobile-subset
+    # spread, compact in / compact grad out) — decomposes e0f0 into the
+    # pair-kernel part vs the reciprocal part
+    from blues_tpu.potentials.nonbonded import choose_pme_params
+    from blues_tpu.potentials.pme import make_pme_reciprocal, precompute_spread_grid
+
+    pme_params = choose_pme_params(np.diag(np.asarray(fs.box)), 1.0, 0.005)
+    log(f"# pme grid {pme_params.grid} alpha {pme_params.alpha:.3f}")
+    frozen_idx = np.setdiff1d(np.arange(fs.n_atoms), mob)
+    charges = np.asarray(fs.nonbonded.charge)
+    base = precompute_spread_grid(
+        pme_params, np.asarray(x)[frozen_idx], charges[frozen_idx], np.asarray(fs.box)
+    )
+    rfn = make_pme_reciprocal(pme_params, base_grid=base, spread_subset=mob)
+    q_std = jnp.asarray(charges * (1.0 - is_alch), jnp.float32)
+    recip_vg = jax.value_and_grad(lambda xm: rfn(full_of(xm), q_std, box))
+    recip_ms = timeit_vscan(_one(recip_vg), xm0)
+    log(f"# compact PME recip E+F alone: {recip_ms:.3f} ms/step-batch")
+
     # dynamics-only: same protocol machinery with a free constant-force field
     def efn_0(xm, box=None, globals_=None):
         return jnp.zeros((), xm.dtype)
@@ -223,6 +250,7 @@ def main():
         "backend": backend,
         "compact_e0f0_ms": round(e0f0_ms, 3),
         "compact_eafa_ms": round(eafa_ms, 3),
+        "compact_recip_EF_ms": round(recip_ms, 3),
         "compact_dynamics_only_ms": round(dyn_ms, 3),
         "full_ms_per_step_batch": round(full_ms, 3),
         "compact_ms_per_step_batch": round(comp_ms, 3),
