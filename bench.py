@@ -197,7 +197,28 @@ def ncmc_protocol_sps(
             agg[R] = 2 * R * schedule.n_micro / (time.time() - t0)
             log(f"#   R={R}: {agg[R]:.1f} aggregate sps")
         except Exception as e:
-            log(f"#   R={R}: skipped ({type(e).__name__}: {e})")
+            # only resource/tunnel failures may skip a replica point; a
+            # shape/trace/typo regression in the vmapped protocol must FAIL
+            # the bench, not silently demote the headline to single-replica
+            msg = f"{type(e).__name__}: {e}"
+            recoverable = any(
+                s in msg
+                for s in (
+                    "RESOURCE_EXHAUSTED",
+                    "out of memory",
+                    "OOM",
+                    "DEADLINE",
+                    "UNAVAILABLE",
+                    "DataLoss",
+                )
+            )
+            if not recoverable:
+                raise
+            log(f"#   R={R}: skipped ({msg})")
+            log(
+                "#   note: a caught HBM OOM may fragment the allocator for "
+                "later same-process benches"
+            )
     return single_sps, agg, flops_per_step
 
 

@@ -7,8 +7,13 @@ frame of three ``basis_particles`` so they move with the receptor
 time: rebuild the lab-frame dart centers from the current basis particles,
 find which dart contains the ligand COM, pick a different dart uniformly,
 and translate the ligand preserving its offset from the dart center
-(_calc_from_center / _reDart, reference :1245-1358). Overlapping darts are
-rejected at construction time because they break detailed balance.
+(_calc_from_center / _reDart, reference :1245-1358). Overlapping darts break
+detailed balance, so they are rejected at construction time AND guarded at
+move time: the reference raises when the ligand COM sits inside >= 2 dart
+regions (reference blues/moves.py:1292); here — inside traced code, where
+raising is impossible — the proposal is suppressed and the move's veto
+channel forces rejection of the iteration (protocol_work = VETO_WORK), so
+an overlap can never silently pick a dart by argmax order.
 
 MolDartMove: per-atom pose darting (capability folded in from the
 reference's legacy posedart.py:114-262 per SURVEY.md 2.2): stored ligand
@@ -102,6 +107,10 @@ class SmartDartMove(Move):
         basis, origin = _basis_frame(bp[0], bp[1], bp[2])
         return jnp.asarray(self.darts_local, x.dtype) @ basis + origin
 
+    def init_aux(self):
+        # overlap-veto flag (see module docstring / after())
+        return jnp.zeros((), bool)
+
     def propose(self, key, x, box, aux):
         lig = jnp.asarray(self.ligand_atoms)
         m = jnp.asarray(self.lig_masses, x.dtype)[:, None]
@@ -110,6 +119,12 @@ class SmartDartMove(Move):
         d = jnp.linalg.norm(darts - com, axis=-1)
         inside = d < self.dart_radius
         in_any = jnp.any(inside)
+        # runtime overlap guard: with moving basis particles the lab-frame
+        # darts can drift into overlap after construction; a COM inside >= 2
+        # darts makes the dart choice ambiguous (detailed-balance violation,
+        # the reference raises — blues/moves.py:1292). Suppress the move and
+        # veto the iteration via after().
+        overlap = jnp.sum(inside.astype(jnp.int32)) > 1
         current = jnp.argmax(inside)  # index of containing dart (if any)
         # choose uniformly among the D-1 other darts
         n_darts = darts.shape[0]
@@ -118,8 +133,12 @@ class SmartDartMove(Move):
         # translate preserving the offset from the dart center
         # (changevec, reference :1293-1297)
         shift = darts[target] - darts[current]
-        new_x = x.at[lig].add(jnp.where(in_any, 1.0, 0.0) * shift[None, :])
-        return new_x, aux
+        do_move = in_any & ~overlap
+        new_x = x.at[lig].add(jnp.where(do_move, 1.0, 0.0) * shift[None, :])
+        return new_x, overlap
+
+    def after(self, key, x, box, aux):
+        return aux  # veto iff the overlap guard fired in propose
 
 
 class MolDartMove(Move):
@@ -203,6 +222,10 @@ class MolDartMove(Move):
 
         return jax.vmap(align_one)(refs, poses)
 
+    def init_aux(self):
+        # overlap-veto flag (same guard as SmartDartMove.after)
+        return jnp.zeros((), bool)
+
     def propose(self, key, x, box, aux):
         lig = jnp.asarray(self.ligand_atoms)
         cur = x[lig]  # (L, 3)
@@ -210,6 +233,11 @@ class MolDartMove(Move):
         rmsd = jnp.sqrt(jnp.mean(jnp.sum((poses - cur[None]) ** 2, -1), -1))  # (P,)
         inside = rmsd < self.dart_radius
         in_any = jnp.any(inside)
+        # runtime overlap guard: a geometry within dart_radius RMSD of >= 2
+        # stored poses makes the basin assignment ambiguous — suppress the
+        # jump and veto (the reference raises in the equivalent COM case,
+        # blues/moves.py:1292)
+        overlap = jnp.sum(inside.astype(jnp.int32)) > 1
         current = jnp.argmax(inside)
         n_poses = poses.shape[0]
         u = jax.random.randint(key, (), 0, n_poses - 1)
@@ -218,5 +246,8 @@ class MolDartMove(Move):
         # reference posedart.py:215-262)
         deviation = cur - poses[current]
         new_lig = poses[target] + deviation
-        new_x = x.at[lig].set(jnp.where(in_any, new_lig, cur))
-        return new_x, aux
+        new_x = x.at[lig].set(jnp.where(in_any & ~overlap, new_lig, cur))
+        return new_x, overlap
+
+    def after(self, key, x, box, aux):
+        return aux  # veto iff the overlap guard fired in propose

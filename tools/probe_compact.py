@@ -252,10 +252,12 @@ def main():
         "compact_eafa_ms": round(eafa_ms, 3),
         "compact_recip_EF_ms": round(recip_ms, 3),
         "compact_dynamics_only_ms": round(dyn_ms, 3),
-        "full_ms_per_step_batch": round(full_ms, 3),
+        # --skip-full leaves full_ms NaN; emit null (json.dumps would print
+        # a bare NaN token, which strict parsers like jq reject)
+        "full_ms_per_step_batch": round(full_ms, 3) if np.isfinite(full_ms) else None,
         "compact_ms_per_step_batch": round(comp_ms, 3),
-        "speedup": round(full_ms / comp_ms, 2),
-        "full_sps": round(1000.0 * R / full_ms, 1),
+        "speedup": round(full_ms / comp_ms, 2) if np.isfinite(full_ms) else None,
+        "full_sps": round(1000.0 * R / full_ms, 1) if np.isfinite(full_ms) else None,
         "compact_sps": round(1000.0 * R / comp_ms, 1),
         "work_median_kT_full": round(float(np.median(fin_f)), 3) if len(fin_f) else None,
         "work_median_kT_compact": round(float(np.median(fin_c)), 3) if len(fin_c) else None,
