@@ -230,8 +230,11 @@ def make_nonbonded_energy(
 
     globals keys: 'lambda_sterics', 'lambda_electrostatics' (default 1.0).
     backend: 'dense' (materialized upper-triangle, small systems),
-    'tiled' (scan over row tiles, any size), 'pallas' (TPU kernel), or
-    'auto' (dense below 4096 atoms, otherwise pallas on TPU / tiled on CPU).
+    'tiled' (scan over row tiles, any size), 'pallas' (TPU kernel),
+    'sweep' (VMEM-accumulator Pallas kernel for culled frozen systems;
+    falls back to pallas when column culling doesn't engage), 'cells',
+    'verlet', or 'auto' (dense below 4096 atoms; on TPU: cells for
+    mostly-mobile, sweep for mostly-frozen; on CPU: cells/tiled).
     frozen_cull_skin: with frozen atoms + a cutoff method, statically cull
     pair-kernel columns to atoms within (cutoff + skin) of the mobile rows'
     build positions; a displacement guard poisons the energy to NaN if a
@@ -294,8 +297,9 @@ def make_nonbonded_energy(
                 # TPU: per-element gathers serialize, so the (N, K) verlet
                 # list loses badly (~450 ms vs 11 ms at 22k atoms); the
                 # contiguous-block cell list wins for mostly-mobile systems,
-                # row-compacted pallas for mostly-frozen ones
-                backend = "cells" if mobile_frac > 0.5 else "pallas"
+                # the VMEM-accumulator sweep kernel for mostly-frozen ones
+                # (falls back to pallas when column culling doesn't engage)
+                backend = "cells" if mobile_frac > 0.5 else "sweep"
             else:
                 backend = "cells" if mobile_frac > 0.5 else "tiled"
     if backend in ("cells", "verlet"):
@@ -327,7 +331,7 @@ def make_nonbonded_energy(
             import jax as _jax
 
             backend = "pallas" if _jax.default_backend() == "tpu" else "tiled"
-    if backend in ("tiled", "pallas", "cells", "verlet"):
+    if backend in ("tiled", "pallas", "cells", "verlet", "sweep"):
         return _make_pair_backend_energy(
             nb,
             method=method,
@@ -726,7 +730,7 @@ def _make_pair_backend_energy(
         and frozen_cull_skin is not None
         and frozen_cull_skin > 0
         and method in (PME, CUTOFF_PERIODIC, CUTOFF_NONPERIODIC)
-        and backend in ("pallas", "tiled")
+        and backend in ("pallas", "tiled", "sweep")
     ):
         skin = float(frozen_cull_skin)
         x0 = np.asarray(frozen_ref_positions, np.float64)
@@ -886,7 +890,9 @@ def _make_pair_backend_energy(
     # Mask them at build time; the rest term then skips subtracting them.
     excl_mask_np = None
     excl_prefiltered = None  # per-exclusion bool over nb.exclusions order
-    if noimg is not None and backend == "tiled":
+    if col_idx is not None and (
+        backend == "sweep" or (noimg is not None and backend == "tiled")
+    ):
         _ex_all = np.asarray(nb.exclusions, np.int64).reshape(-1, 2)
         rows_arr = np.asarray(active_rows, np.int64)
         cols_arr = np.asarray(col_idx, np.int64)
@@ -904,7 +910,34 @@ def _make_pair_backend_energy(
             excl_mask_np[rpos[j_[m2]], cpos[i_[m2]]] = True
             excl_prefiltered = m1 | m2
 
-    if backend == "pallas":
+    per_atom_main = dict(
+        q_std=charges * (1.0 - is_alch),
+        q_alch=charges * is_alch,
+        sigma=np.asarray(nb.sigma, np.float64),
+        epsilon=np.asarray(nb.epsilon, np.float64),
+        alch=is_alch.astype(np.float64),
+        in_rows=in_rows_np.astype(np.float64),
+    )
+    if backend == "sweep" and col_idx is None:
+        # the VMEM sweep kernel targets the culled frozen pair space; with
+        # no static column subset the row-compacted pallas kernel serves
+        backend = "pallas"
+    if backend == "sweep":
+        from .pallas.sweep_kernel import make_sweep_pair_sum
+
+        pair_sum = make_sweep_pair_sum(
+            row_gid=np.asarray(active_rows, np.int64),
+            col_gid=np.asarray(col_idx, np.int64),
+            per_atom=per_atom_main,
+            n_atoms=n,
+            excl_mask=excl_mask_np,
+            col_const_positions=col_const,
+            col_mobile_sel=col_msel,
+            col_mobile_gid=col_mgid,
+            skip_min_image=noimg is not None,
+            **common,
+        )
+    elif backend == "pallas":
         from .pallas.pair_kernel import make_pallas_pair_sum
 
         pair_sum = make_pallas_pair_sum(feats, col_idx=col_idx, **common)
@@ -1163,7 +1196,7 @@ def _make_pair_backend_energy(
         len(alch_atoms_np)
         and len(alch_atoms_np) <= 512
         and not exact
-        and backend in ("pallas", "tiled", "cells")
+        and backend in ("pallas", "tiled", "cells", "sweep")
     ):
         from .geometry import periodic_displacement as _pdisp
 
@@ -1208,50 +1241,78 @@ def _make_pair_backend_energy(
                 feats0 = build_pair_features(
                     charges, nb.sigma, nb.epsilon, np.zeros(n, bool), rows0
                 )
-                if backend == "pallas":
+                # cols_na is an (order-preserving) subset of col_idx, so
+                # the no_min_image shifts and const columns slice
+                # straight through
+                noimg0 = (None, None)
+                excl_mask0 = None
+                col_const0 = col_msel0 = col_mgid0 = None
+                if col_const is not None:
+                    sel0c = np.searchsorted(
+                        np.asarray(col_idx, np.int64), cols_na
+                    )
+                    col_const0 = col_const[sel0c]
+                    col_msel0 = np.where(in_rows_np[cols_na])[0]
+                    col_mgid0 = cols_na[col_msel0].astype(np.int64)
+                if noimg is not None:
+                    sel0 = np.searchsorted(
+                        np.asarray(col_idx, np.int64), cols_na
+                    )
+                    noimg0 = (noimg[0][sel0], noimg[1])
+                # build-time exclusion masking over the (rows0, cols_na)
+                # pair space: always for the sweep kernel, and for tiled's
+                # no-min-image fast path (pref0_live marks pairs the kernel
+                # masked so the rest term won't re-subtract them)
+                if backend == "sweep" or (noimg is not None and backend == "tiled"):
+                    r0pos = np.full(n, -1, np.int64)
+                    r0pos[rows0] = np.arange(len(rows0))
+                    c0pos = np.full(n, -1, np.int64)
+                    c0pos[cols_na] = np.arange(len(cols_na))
+                    excl_mask0 = np.zeros((len(rows0), len(cols_na)), bool)
+                    if len(excl):
+                        i_, j_ = excl[:, 0], excl[:, 1]
+                        m1 = (r0pos[i_] >= 0) & (c0pos[j_] >= 0)
+                        m2 = (r0pos[j_] >= 0) & (c0pos[i_] >= 0)
+                        excl_mask0[r0pos[i_[m1]], c0pos[j_[m1]]] = True
+                        excl_mask0[r0pos[j_[m2]], c0pos[i_[m2]]] = True
+                        pref0_live = m1 | m2
+                if backend == "sweep":
+                    from .pallas.sweep_kernel import make_sweep_pair_sum as _mks
+
+                    in_rows0_np = np.zeros(n)
+                    in_rows0_np[rows0] = 1.0
+                    per_atom0 = dict(
+                        q_std=charges,
+                        q_alch=np.zeros(n),
+                        sigma=np.asarray(nb.sigma, np.float64),
+                        epsilon=np.asarray(nb.epsilon, np.float64),
+                        alch=np.zeros(n),
+                        in_rows=in_rows0_np,
+                    )
+                    pair_sum0 = _mks(
+                        row_gid=rows0,
+                        col_gid=cols_na,
+                        per_atom=per_atom0,
+                        n_atoms=n,
+                        excl_mask=excl_mask0,
+                        col_const_positions=col_const0,
+                        col_mobile_sel=col_msel0,
+                        col_mobile_gid=col_mgid0,
+                        skip_min_image=noimg is not None,
+                        **common0,
+                    )
+                elif backend == "pallas":
                     from .pallas.pair_kernel import make_pallas_pair_sum as _mk0
 
                     pair_sum0 = _mk0(feats0, col_idx=cols_na, **common0)
                 else:
-                    # cols_na is an (order-preserving) subset of col_idx, so
-                    # the no_min_image shifts and const columns slice
-                    # straight through
-                    noimg0 = (None, None)
-                    excl_mask0 = None
-                    col_const0 = col_msel0 = col_mgid0 = None
-                    if col_const is not None:
-                        sel0c = np.searchsorted(
-                            np.asarray(col_idx, np.int64), cols_na
-                        )
-                        col_const0 = col_const[sel0c]
-                        col_msel0 = np.where(in_rows_np[cols_na])[0]
-                        col_mgid0 = cols_na[col_msel0].astype(np.int64)
-                    if noimg is not None:
-                        sel0 = np.searchsorted(
-                            np.asarray(col_idx, np.int64), cols_na
-                        )
-                        noimg0 = (noimg[0][sel0], noimg[1])
-                        # same build-time exclusion masking as the main
-                        # kernel, over the (rows0, cols_na) pair space
-                        r0pos = np.full(n, -1, np.int64)
-                        r0pos[rows0] = np.arange(len(rows0))
-                        c0pos = np.full(n, -1, np.int64)
-                        c0pos[cols_na] = np.arange(len(cols_na))
-                        excl_mask0 = np.zeros((len(rows0), len(cols_na)), bool)
-                        if len(excl):
-                            i_, j_ = excl[:, 0], excl[:, 1]
-                            m1 = (r0pos[i_] >= 0) & (c0pos[j_] >= 0)
-                            m2 = (r0pos[j_] >= 0) & (c0pos[i_] >= 0)
-                            excl_mask0[r0pos[i_[m1]], c0pos[j_[m1]]] = True
-                            excl_mask0[r0pos[j_[m2]], c0pos[i_[m2]]] = True
-                            pref0_live = m1 | m2
                     pair_sum0 = make_tiled_pair_sum(
                         feats0,
                         col_idx=cols_na,
                         no_min_image=noimg is not None,
                         col_shift=noimg0[0],
                         center=noimg0[1],
-                        excl_mask=excl_mask0,
+                        excl_mask=excl_mask0 if noimg is not None else None,
                         col_const_positions=col_const0,
                         col_mobile_sel=col_msel0,
                         col_mobile_gid=col_mgid0,
@@ -1321,6 +1382,44 @@ def _make_pair_backend_energy(
                 na_excl_mask[_arow[_j], _cpos[_i]] = True
         na_excl_mask_j = jnp.asarray(na_excl_mask) if na_excl_mask.any() else None
 
+        # sweep backend: the NA block runs in the VMEM-accumulator Pallas
+        # kernel with alchemical atoms riding the SUBLANE dimension (a
+        # 15-atom ligand costs a (16, cols) sweep, not (128, cols)) and
+        # column reaction forces accumulated in-register for the mobile
+        # non-alchemical columns. Energy + all forces in one kernel pass
+        # through the custom VJP (energy.py differentiates lambda_ea).
+        ea_sweep = None
+        if backend == "sweep" and len(cols_na) and col_idx is not None:
+            from .pallas.sweep_kernel import make_sweep_pair_sum as _mks_ea
+
+            selc = np.searchsorted(np.asarray(col_idx, np.int64), cols_na)
+            ea_col_const = col_const[selc] if col_const is not None else None
+            mob_sel_cols = np.where(in_rows_np[cols_na])[0]
+            per_atom_ea = dict(
+                q_std=q_std_np,
+                q_alch=charges * is_alch,
+                sigma=sigmas,
+                epsilon=epsilons,
+                alch=is_alch.astype(np.float64),
+                # EA pairs are each visited exactly once (rows = alchemical
+                # atoms only, columns exclude them): weight 1.0 everywhere
+                in_rows=np.zeros(n),
+            )
+            ea_sweep = _mks_ea(
+                row_gid=alch_atoms_np,
+                col_gid=cols_na,
+                per_atom=per_atom_ea,
+                n_atoms=n,
+                excl_mask=na_excl_mask if na_excl_mask.any() else None,
+                col_const_positions=ea_col_const,
+                col_mobile_sel=mob_sel_cols,
+                col_mobile_gid=cols_na[mob_sel_cols],
+                col_forces=True,
+                col_force_keep=mob_sel_cols,
+                skip_min_image=noimg is not None,
+                **common,
+            )
+
         # frozen columns' positions never change: bake them as a build-time
         # constant and gather only the (few) mobile non-alch columns at
         # runtime — removes an (R, n_cols) gather over the full position
@@ -1349,7 +1448,11 @@ def _make_pair_backend_energy(
 
             xa = positions[alch_j]
             # alch x non-alch block (visited once: full weight)
-            if len(cols_na):
+            if ea_sweep is not None:
+                e_total = e_total + ea_sweep.energy(
+                    positions, box, lam_s, f_na, f_aa
+                )
+            elif len(cols_na):
                 if use_const_cols:
                     # frozen entries are compile-time constants (no grad
                     # path — same semantics as the stop_gradient below);
@@ -1567,9 +1670,12 @@ def _make_pair_backend_energy(
     energy.cull_info = (len(col_idx), n) if col_idx is not None else None
     #: (row_atom_ids, ball_centers, ball_radii) of the culling guard
     energy.cull_bounds = cull_bounds if col_idx is not None else None
-    #: True when the tiled kernel runs the no-minimum-image matmul-force
-    #: fast path (_no_image_geometry eligibility held)
-    energy.no_min_image = noimg is not None and backend == "tiled"
+    #: True when the kernel skips per-pair minimum-image wraps under the
+    #: _no_image_geometry extent proof (tiled's matmul-force fast path /
+    #: the sweep kernel's raw-displacement path)
+    energy.no_min_image = noimg is not None and backend in ("tiled", "sweep")
+    #: resolved backend name (for benches/diagnostics)
+    energy.backend = backend
     #: neighbor-list hooks (verlet backend): drivers build a list once and
     #: apply it across steps, combining autodiffed rest-forces with the
     #: list kernel's analytic pair forces

@@ -45,13 +45,18 @@ TILE_R = 128  # row (sublane) tile: halves the padding waste for small
 F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH, F_INROWS, F_CGID = 0, 1, 2, 3, 4, 5, 6
 # extra rows in the row-side feature array
 R_GID, R_VALID = 5, 6
+#: column slot 7 = 1.0 only in the FIRST column tile: the output-block
+#: zero-init flag. Data, not pl.program_id — jax.vmap PREPENDS a grid
+#: dimension, so program_id(1) would silently point at the row dimension
+#: under replica batching (wrong accumulation = wrong physics).
+F_FIRST = 7
 
 
 def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, periodic, n_atoms, switch_distance=None, alch_coulomb=False):
     use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
 
     def kernel(params_ref, xi_ref, xj_ref, fi_ref, fj_ref, out_ref):
-        j = pl.program_id(1)
+        is_first = fj_ref[F_FIRST, 0] > 0  # vmap-safe init flag (see F_FIRST)
 
         lam_s = params_ref[0, 0]
         f_na = params_ref[0, 1]
@@ -114,7 +119,7 @@ def _make_kernel(method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha, p
         # row-row pairs counted from both sides -> weight 0.5
         wcol = 1.0 - 0.5 * fj_ref[F_INROWS, :][None, :]
 
-        @pl.when(j == 0)
+        @pl.when(is_first)
         def _():
             out_ref[:, :] = jnp.zeros((8, TILE_R), jnp.float32)
 
@@ -173,6 +178,7 @@ def make_pallas_pair_sum(
         feat_cols[k, :nc] = np.asarray(arr)[cols_np]
     feat_cols[F_CGID, :nc] = cols_np.astype(np.float32)
     feat_cols[F_CGID, nc:] = -1.0
+    feat_cols[F_FIRST, :TILE] = 1.0  # first-tile init flag (see F_FIRST doc)
     # row features: compacted + global id + validity
     rows = np.asarray(feats.row_idx)
     feat_rows = np.zeros((8, nr_pad), np.float32)

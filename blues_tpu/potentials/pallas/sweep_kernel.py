@@ -1,0 +1,424 @@
+"""VMEM-accumulator Pallas kernel for the culled frozen pair sweep.
+
+The round-3 on-chip decomposition (docs/perf_decomposition_r256.json) showed
+the frozen production protocol spending ~70% of its micro-step in the tiled
+XLA kernel's HBM-materialized pair-slot buffers: at R=256 replicas the
+(256, 128 rows, 6528 cols) f32 intermediates are ~855 MB EACH, so the step
+is HBM-bandwidth-bound at ~0.5% MFU. This kernel keeps every (rows x cols)
+pair tile in VMEM and accumulates energy and forces in-register — the pair
+intermediates never exist in HBM, cutting ~5 GB/step-batch of traffic to
+the O(50 MB) of row/column coordinate I/O.
+
+One kernel factory serves the three sweeps of the lambda-split NCMC path
+(potentials/nonbonded.py):
+
+  * the MAIN sweep: all mobile rows x culled columns at lambda (full path);
+  * the E0 sweep:   non-alchemical mobile rows x non-alchemical columns
+                    (lambda-independent part, cached across micro-steps);
+  * the EA sweep:   alchemical rows x non-alchemical columns with COLUMN
+                    reaction forces (the tiny per-lambda part) — rows ride
+                    the sublane dimension (TR=16 for a 15-atom ligand), so
+                    the alchemical block costs ~1/8 of a full sweep instead
+                    of padding 15 rows to 128.
+
+Correctness features carried over from the tiled fast path
+(potentials/tiled.py): build-time exclusion masking (excluded bonded pairs
+are never computed, removing the f32 compute-then-subtract cancellation),
+compile-time constant column positions for frozen atoms (only the few
+mobile columns gather from the runtime array), and optional skip of the
+per-pair minimum-image wrap under the _no_image_geometry extent proof.
+
+vmap safety: jax.vmap of pallas_call PREPENDS a grid dimension, which
+shifts pl.program_id indices — so "first column tile" detection (the
+output-accumulator zero-init) reads a flag baked into slot 7 of the column
+feature array (1.0 only in the first tile's columns) instead of any
+program_id. Replica batching therefore costs one extra grid dimension and
+nothing else; static feature/mask operands stay unbatched and shared.
+
+Per-pair math is the shared potentials.pairs formulas — identical to the
+dense/tiled/cells backends, which are its correctness references
+(tests/test_sweep_kernel.py pins f32 agreement and vmap consistency).
+
+Replaces the role of OpenMM's CUDA direct-space nonbonded kernels for the
+reference's freeze_radius production protocol (reference:
+blues/simulation.py:394-480, examples/rotmove_cuda.yml:42-45).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pairs import pair_energy_force
+
+# feature-row indices (shared layout with pallas/pair_kernel.py); the row
+# array reuses slots 5/6 for global id/validity and keeps its own in_rows
+# flag in slot 7 (the "is a row of THIS kernel" membership — each sweep
+# instance decides what that means, see make_sweep_pair_sum callers)
+F_QSTD, F_QALCH, F_SIG, F_EPS, F_ALCH, F_INROWS, F_CGID = 0, 1, 2, 3, 4, 5, 6
+R_GID, R_VALID, R_INROWS = 5, 6, 7
+#: column slot 7 = 1.0 ONLY for the first column tile: the kernel's
+#: "zero-init the output accumulator" flag. Pure data (no pl.program_id),
+#: so it survives jax.vmap prepending a grid dimension AND satisfies the
+#: Mosaic block-shape rules a (1,1)-blocked SMEM marker operand violates.
+F_FIRST = 7
+
+DEFAULT_COL_TILE = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _row_tile(nr: int) -> int:
+    """Sublane row-tile: small row counts (the alchemical block) ride the
+    sublane dimension instead of padding to 128 lanes."""
+    if nr > 64:
+        return 128
+    t = 8
+    while t < nr:
+        t *= 2
+    return t
+
+
+def _make_kernel(
+    *,
+    method,
+    cutoff,
+    alpha_ewald,
+    k_rf,
+    c_rf,
+    ann,
+    softcore_alpha,
+    periodic,
+    skip_min_image,
+    switch_distance,
+    alch_coulomb,
+    tr,
+    tc,
+    has_excl,
+    col_forces,
+):
+    use_cutoff = method in ("PME", "CutoffPeriodic", "CutoffNonPeriodic")
+
+    def kernel(*refs):
+        if has_excl:
+            params_ref, xr_ref, xc_ref, fr_ref, fc_ref, excl_ref = refs[:6]
+            out_refs = refs[6:]
+        else:
+            params_ref, xr_ref, xc_ref, fr_ref, fc_ref = refs[:5]
+            out_refs = refs[5:]
+        out_ref = out_refs[0]
+        # first-column-tile flag from the feature data (vmap/Mosaic-safe)
+        is_first = fc_ref[F_FIRST, 0] > 0
+
+        lam_s = params_ref[0, 0]
+        f_na = params_ref[0, 1]
+        f_aa = params_ref[0, 2]
+
+        dxs = []
+        r2 = jnp.zeros((tr, tc), jnp.float32)
+        for d in range(3):
+            xi = xr_ref[d, :][:, None]
+            xj = xc_ref[d, :][None, :]
+            dx = xi - xj
+            if periodic and not skip_min_image:
+                L = params_ref[0, 3 + d]
+                dx = dx - L * jnp.round(dx / L)
+            dxs.append(dx)
+            r2 = r2 + dx * dx
+
+        gid_i = fr_ref[R_GID, :][:, None]
+        cj = fc_ref[F_CGID, :][None, :]
+        valid = (gid_i != cj) & (fr_ref[R_VALID, :][:, None] > 0) & (cj >= 0)
+        if has_excl:
+            valid = valid & (excl_ref[:, :] == 0)
+        if use_cutoff:
+            valid = valid & (r2 < cutoff * cutoff)
+        r2 = jnp.maximum(r2, 1e-6)
+
+        qs_i = fr_ref[F_QSTD, :][:, None]
+        qs_j = fc_ref[F_QSTD, :][None, :]
+        qa_i = fr_ref[F_QALCH, :][:, None]
+        qa_j = fc_ref[F_QALCH, :][None, :]
+        sij = 0.5 * (fr_ref[F_SIG, :][:, None] + fc_ref[F_SIG, :][None, :])
+        eij = jnp.sqrt(fr_ref[F_EPS, :][:, None] * fc_ref[F_EPS, :][None, :])
+        ai = fr_ref[F_ALCH, :][:, None]
+        aj = fc_ref[F_ALCH, :][None, :]
+        aa = ai * aj
+        na = ai + aj - 2.0 * aa
+        scale_ster = na + ann * aa
+
+        e, g = pair_energy_force(
+            r2,
+            sij,
+            eij,
+            qs_i * qs_j,
+            qs_i * qa_j + qa_i * qs_j,
+            qa_i * qa_j,
+            scale_ster,
+            lam_sterics=lam_s,
+            f_na=f_na,
+            f_aa=f_aa,
+            method=method,
+            alpha_ewald=alpha_ewald,
+            k_rf=k_rf,
+            c_rf=c_rf,
+            softcore_alpha=softcore_alpha,
+            switch_distance=switch_distance,
+            cutoff=cutoff,
+            alch_coulomb=alch_coulomb,
+        )
+        e = jnp.where(valid, e, 0.0)
+        g = jnp.where(valid, g, 0.0)
+        # row-row pairs are visited from both sides -> energy weight 0.5
+        wcol = 1.0 - 0.5 * fr_ref[R_INROWS, :][:, None] * fc_ref[F_INROWS, :][None, :]
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:, :] = jnp.zeros((8, tr), jnp.float32)
+
+        for d in range(3):
+            out_ref[d, :] += -jnp.sum(g * dxs[d], axis=1)
+        out_ref[3, :] += jnp.sum(wcol * e, axis=1)
+
+        if col_forces:
+            outc_ref = out_refs[1]
+            outc_ref[:, :] = jnp.zeros((8, tc), jnp.float32)
+            for d in range(3):
+                # reaction force on the column atom: F_j = +g * (x_i - x_j)
+                outc_ref[d, :] = jnp.sum(g * dxs[d], axis=0)
+
+    return kernel
+
+
+def make_sweep_pair_sum(
+    *,
+    row_gid,
+    col_gid,
+    per_atom,  # dict: q_std, q_alch, sigma, epsilon, alch, in_rows -> (n,) arrays
+    n_atoms: int,
+    method: str,
+    cutoff: float,
+    alpha_ewald: float,
+    k_rf: float,
+    c_rf: float,
+    annihilate_sterics: bool,
+    softcore_alpha: float = 0.5,
+    periodic: bool = True,
+    switch_distance: float = None,
+    alch_coulomb: bool = False,
+    excl_mask=None,  # (nr, nc) bool: True = skip this pair at build time
+    col_const_positions=None,  # (nc, 3) static col positions (incl. shifts)
+    col_mobile_sel=None,  # positions within col_gid to refresh at runtime
+    col_mobile_gid=None,  # their global atom ids
+    skip_min_image: bool = False,
+    col_forces: bool = False,
+    col_force_keep=None,  # col positions whose reaction forces scatter back
+    col_tile: int = DEFAULT_COL_TILE,
+    interpret: bool = None,
+):
+    """pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) over the (row_gid x
+    col_gid) pair block, with .energy exposing a custom-VJP scalar whose
+    pullback reuses the analytic forces (one kernel pass for E+F+grad).
+
+    col_forces: also accumulate reaction forces on columns and scatter the
+    ``col_force_keep`` subset back into F (the alchemical NA block, whose
+    mobile non-alchemical columns are not rows). Requires a single row
+    tile. Frozen columns' forces are computed in-register but discarded —
+    frozen atoms never move (same semantics as the stop_gradient in the
+    dense NA block, potentials/nonbonded.py lambda_ea)."""
+    global pl, pltpu
+    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    rows_np = np.asarray(row_gid, np.int64)
+    cols_np = np.asarray(col_gid, np.int64)
+    nr, nc = len(rows_np), len(cols_np)
+    tr = _row_tile(nr)
+    tc = int(col_tile)
+    nr_pad = _round_up(nr, tr)
+    ncpad = _round_up(nc, tc)
+    n_row_tiles = nr_pad // tr
+    n_col_tiles = ncpad // tc
+    if col_forces and n_row_tiles != 1:
+        raise ValueError(
+            "col_forces requires a single row tile (the column-force output "
+            f"block is written once per column tile); got {n_row_tiles}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # static feature arrays (transposed (8, N) layout, atoms on lanes)
+    feat_rows = np.zeros((8, nr_pad), np.float32)
+    feat_cols = np.zeros((8, ncpad), np.float32)
+    for k, arr in (
+        (F_QSTD, "q_std"), (F_QALCH, "q_alch"), (F_SIG, "sigma"),
+        (F_EPS, "epsilon"), (F_ALCH, "alch"), (F_INROWS, "in_rows"),
+    ):
+        a = np.asarray(per_atom[arr], np.float64)
+        feat_rows[k, :nr] = a[rows_np]
+        feat_cols[k, :nc] = a[cols_np]
+    feat_rows[R_GID, :nr] = rows_np.astype(np.float32)
+    feat_rows[R_INROWS, :nr] = np.asarray(per_atom["in_rows"], np.float64)[rows_np]
+    feat_rows[R_VALID, :nr] = 1.0
+    feat_cols[F_CGID, :nc] = cols_np.astype(np.float32)
+    feat_cols[F_CGID, nc:] = -1.0
+    feat_cols[F_FIRST, :tc] = 1.0  # first-tile init flag (see slot doc)
+
+    excl_f32 = None
+    if excl_mask is not None:
+        em = np.asarray(excl_mask, bool)
+        if em.shape != (nr, nc):
+            raise ValueError(f"excl_mask {em.shape} != ({nr}, {nc})")
+        excl_f32 = np.zeros((nr_pad, ncpad), np.float32)
+        excl_f32[:nr, :nc] = em
+
+    col_const_np = (
+        None if col_const_positions is None else np.asarray(col_const_positions, np.float64)
+    )
+    mob_sel_j = (
+        jnp.asarray(np.asarray(col_mobile_sel, np.int64))
+        if col_mobile_sel is not None and len(col_mobile_sel)
+        else None
+    )
+    mob_gid_j = (
+        jnp.asarray(np.asarray(col_mobile_gid, np.int64))
+        if mob_sel_j is not None
+        else None
+    )
+    keep_sel_j = keep_gid_j = None
+    if col_forces:
+        keep = (
+            np.asarray(col_force_keep, np.int64)
+            if col_force_keep is not None
+            else np.arange(nc, dtype=np.int64)
+        )
+        keep_sel_j = jnp.asarray(keep)
+        keep_gid_j = jnp.asarray(cols_np[keep])
+
+    kernel = _make_kernel(
+        method=method, cutoff=cutoff, alpha_ewald=alpha_ewald, k_rf=k_rf,
+        c_rf=c_rf, ann=1.0 if annihilate_sterics else 0.0,
+        softcore_alpha=softcore_alpha, periodic=periodic,
+        skip_min_image=skip_min_image, switch_distance=switch_distance,
+        alch_coulomb=alch_coulomb, tr=tr, tc=tc,
+        has_excl=excl_f32 is not None, col_forces=col_forces,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    if excl_f32 is not None:
+        in_specs.append(
+            pl.BlockSpec((tr, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        )
+    out_specs = pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((8, nr_pad), jnp.float32)
+    if col_forces:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((8, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((8, ncpad), jnp.float32))
+
+    grid_spec = pl.GridSpec(
+        grid=(n_row_tiles, n_col_tiles), in_specs=in_specs, out_specs=out_specs
+    )
+    flops_per_pair = 80
+    cost = pl.CostEstimate(
+        flops=flops_per_pair * nr_pad * ncpad,
+        bytes_accessed=4 * (8 * ncpad) * (2 * n_row_tiles + 1) + 4 * 8 * nr_pad * 3,
+        transcendentals=3 * nr_pad * ncpad,
+    )
+
+    feat_rows_j = jnp.asarray(feat_rows)
+    feat_cols_j = jnp.asarray(feat_cols)
+    excl_j = None if excl_f32 is None else jnp.asarray(excl_f32)
+    rows_j = jnp.asarray(rows_np)
+    row_live = jnp.asarray((np.arange(nr_pad) < nr)[:, None].astype(np.float32))
+    cols_runtime_j = jnp.asarray(cols_np)  # gather source when no const cols
+
+    def _pass(x, box, lam_s, f_na, f_aa):
+        xf = x.astype(jnp.float32)
+        if col_const_np is not None:
+            xc = jnp.asarray(col_const_np, jnp.float32)
+            if mob_sel_j is not None:
+                xc = xc.at[mob_sel_j].set(xf[mob_gid_j])
+        else:
+            xc = xf[cols_runtime_j]
+        xct = jnp.zeros((8, ncpad), jnp.float32).at[0:3, :nc].set(xc.T)
+        xrt = jnp.zeros((8, nr_pad), jnp.float32).at[0:3, :nr].set(xf[rows_j].T)
+        blen = (
+            jnp.diagonal(box).astype(jnp.float32)
+            if box is not None
+            else jnp.ones(3, jnp.float32)
+        )
+        params = jnp.zeros((1, 8), jnp.float32)
+        params = params.at[0, 0].set(jnp.asarray(lam_s, jnp.float32))
+        params = params.at[0, 1].set(jnp.asarray(f_na, jnp.float32))
+        params = params.at[0, 2].set(jnp.asarray(f_aa, jnp.float32))
+        params = params.at[0, 3:6].set(blen)
+
+        args = [params, xrt, xct, feat_rows_j, feat_cols_j]
+        if excl_j is not None:
+            args.append(excl_j)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
+        if col_forces:
+            out, outc = out
+        f_rows = out[0:3].T * row_live  # (nr_pad, 3)
+        f = (
+            jnp.zeros((n_atoms, 3), jnp.float32)
+            .at[rows_j]
+            .add(f_rows[:nr])
+        )
+        if col_forces:
+            fc = outc[0:3].T  # (ncpad, 3)
+            f = f.at[keep_gid_j].add(fc[keep_sel_j])
+        e = jnp.sum(out[3, :]).astype(x.dtype)
+        return e, f.astype(x.dtype)
+
+    @jax.custom_vjp
+    def pair_energy(x, box, lam_s, f_na, f_aa):
+        e, _ = _pass(x, box, lam_s, f_na, f_aa)
+        return e
+
+    def fwd(x, box, lam_s, f_na, f_aa):
+        e, f = _pass(x, box, lam_s, f_na, f_aa)
+        return e, (f, box, lam_s, f_na, f_aa)
+
+    def bwd(res, ct):
+        f, box, lam_s, f_na, f_aa = res
+        return (
+            -f * ct,
+            None if box is None else jnp.zeros_like(box),
+            jnp.zeros_like(lam_s),
+            jnp.zeros_like(f_na),
+            jnp.zeros_like(f_aa),
+        )
+
+    pair_energy.defvjp(fwd, bwd)
+
+    def pair_sum(x, box, lam_s, f_na, f_aa):
+        return _pass(x, box, lam_s, f_na, f_aa)
+
+    pair_sum.energy = pair_energy
+    pair_sum.shape_info = dict(
+        nr=nr, nc=nc, tr=tr, tc=tc, n_row_tiles=n_row_tiles,
+        n_col_tiles=n_col_tiles, skip_min_image=skip_min_image,
+        masked_pairs=int(excl_f32.sum()) if excl_f32 is not None else 0,
+    )
+    return pair_sum
