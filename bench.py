@@ -13,8 +13,9 @@ BASELINE.json design point; replica scaling is near-linear: measured
 147 / 327 / 578 / 1047 / 1759 sps at 1 / 8 / 16 / 32 / 64 replicas).
 Each switching step is a full "H V R O R V H" BAOAB micro-step of the
 lambda protocol — softcore LJ + PME electrostatics energy AND forces —
-run as a jit-scanned protocol on one chip via the tiled pair kernel
-(no-min-image matmul-force fast path + build-time exclusion masking),
+run as a jit-scanned protocol on one chip via the VMEM-accumulator Pallas
+sweep kernel (in-register E+F accumulation over the culled frozen pair
+space, build-time exclusion masking, no-min-image under the extent proof),
 MXU PME, lambda-split micro-step caching, and mobile-state compaction
 (the dynamics runs on the ~121 mobile atoms).
 
@@ -299,7 +300,7 @@ def watdivaline_sps():
 
     data = "/root/reference/blues/tests/data"
     if not os.path.isdir(data):
-        return None
+        return None, None
     system = load_prmtop(f"{data}/watDivaline.prmtop", hydrogen_mass=3.024)
     crd = load_inpcrd(f"{data}/watDivaline.inpcrd")
     system = system.replace(box=crd.box)
@@ -311,20 +312,21 @@ def watdivaline_sps():
     # (the dense path materializes N^2 arrays and is HBM-bound on TPU).
     # cutoff 0.9 nm (the 29.6 A box caps the production 10 A cutoff)
     backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
-    single, _, _ = ncmc_protocol_sps(
-        system, crd.positions, backend, n_rep=3, replicas=(),
+    single, agg, _ = ncmc_protocol_sps(
+        system, crd.positions, backend, n_rep=3, replicas=(64,),
         minimize_steps=800, dt=0.002, cutoff=0.9,
     )
-    return single
+    return single, agg.get(64)
 
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    # frozen protocol: tiled — its no-min-image matmul-force fast path +
-    # build-time exclusion masking beats the pallas O(N^2) sweep on culled
-    # frozen systems (and is ~5000x more f32-accurate); unfrozen evals
-    # still measure pallas/cells below
-    backend = "tiled"
+    # frozen protocol: the VMEM-accumulator Pallas sweep kernel — keeps the
+    # (rows x culled-cols) pair tiles in VMEM instead of materializing
+    # HBM pair-slot buffers; measured 2.22x over tiled at R=256
+    # (docs/sweep_ab_r256.json; same-process A/B, work medians agree).
+    # On CPU the sweep runs in interpret mode and is slow — use tiled.
+    backend = "sweep" if on_tpu else "tiled"
 
     system, x0, flavor = build_flagship()
     lig = system.topology.select_resname("LIG")
@@ -388,11 +390,30 @@ def main():
     except Exception as e:
         log(f"# unfrozen MD-step bench failed: {e}")
 
-    wd_sps = None
+    # unfrozen 22k aggregate protocol point (the reference's default
+    # no-freeze workflow, VERDICT r3 weak #3): cells backend, small R —
+    # each replica carries full-system cell-list buffers
+    unfrozen_sps = unfrozen_agg = None
     try:
-        wd_sps = watdivaline_sps()
+        unfrozen_sps, agg_u, _ = ncmc_protocol_sps(
+            system, x0, "cells", n_rep=2, replicas=(8,) if on_tpu else (),
+        )
+        unfrozen_agg = agg_u.get(8)
+        log(
+            f"# unfrozen 22k protocol [cells]: single {unfrozen_sps:.1f} sps"
+            + (f", R=8 aggregate {unfrozen_agg:.1f} sps" if unfrozen_agg else "")
+        )
+    except Exception as e:
+        log(f"# unfrozen 22k protocol bench failed: {e}")
+
+    wd_sps = wd_agg = None
+    try:
+        wd_sps, wd_agg = watdivaline_sps()
         if wd_sps:
-            log(f"# watDivaline (2591 atoms, unfrozen): {wd_sps:.1f} sps")
+            log(
+                f"# watDivaline (2591 atoms, unfrozen): {wd_sps:.1f} sps"
+                + (f", R=64 aggregate {wd_agg:.1f} sps" if wd_agg else "")
+            )
     except Exception as e:
         log(f"# watDivaline bench failed: {e}")
 
@@ -423,7 +444,16 @@ def main():
                 ),
                 "unfrozen_eval_ms": evals,
                 "unfrozen_md_step_ms": round(md_ms, 2) if md_ms else None,
+                "unfrozen_22k_steps_per_sec": (
+                    round(unfrozen_sps, 2) if unfrozen_sps else None
+                ),
+                "unfrozen_22k_aggregate_8_replicas": (
+                    round(unfrozen_agg, 2) if unfrozen_agg else None
+                ),
                 "watdivaline_steps_per_sec": round(wd_sps, 2) if wd_sps else None,
+                "watdivaline_aggregate_64_replicas": (
+                    round(wd_agg, 2) if wd_agg else None
+                ),
                 "unit": "switching_steps/s",
                 "vs_baseline": round(steps_per_sec / OPENMM_CPU_BASELINE_STEPS_PER_SEC, 2),
                 "vs_baseline_generous": round(
@@ -440,7 +470,9 @@ def main():
                     "r3 bench runs the true production protocol (4 fs HMR, "
                     "10 A cutoff) vs r2's 2 fs / 9 A; the heavier cutoff "
                     "raises per-step cost, so sps are not directly "
-                    "comparable to BENCH_r02"
+                    "comparable to BENCH_r02. r4 switches the frozen "
+                    "protocol to the VMEM-accumulator Pallas sweep kernel "
+                    "(same protocol shape as r3, directly comparable)"
                 ),
             }
         )

@@ -79,7 +79,9 @@ def main():
         warnings.simplefilter("ignore")
         fs = system.freeze_radius(np.asarray(x0), lig, 0.5)
     mobile = int((fs.masses > 0).sum())
-    backend = "tiled"  # no-min-image fast path (frozen culled systems)
+    # VMEM-accumulator sweep kernel on TPU (2.22x over tiled,
+    # docs/sweep_ab_r256.json); interpret-mode sweep is slow on CPU
+    backend = "sweep" if jax.default_backend() == "tpu" else "tiled"
     log(f"# system {system.n_atoms} atoms, {mobile} mobile; backend={backend}")
 
     cfg = SimulationConfig(
