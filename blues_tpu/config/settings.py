@@ -55,7 +55,8 @@ _SYSTEM_KEYS = {
     "useSwitchingFunction", "constraints", "hydrogenMass",
     "ewaldErrorTolerance", "alchemical", "alchemical_pme_treatment",
     "suppress_warnings", "dispersion_correction", "implicitSolvent",
-    "soluteDielectric", "solventDielectric",
+    "soluteDielectric", "solventDielectric", "implicitSolventKappa",
+    "implicitSolventSaltConc",
 }
 #: reference keys accepted for YAML parity whose effect is inherent to this
 #: engine or a constant-offset bookkeeping choice (warn, don't error):
@@ -85,8 +86,9 @@ _FREEZE_KEYS = {"freeze_center", "freeze_distance", "freeze_solvent"}
 _RESTRAINT_KEYS = {"selection", "weight"}
 #: implemented generalized-Born models (reference accepts HCT/OBC1/OBC2/
 #: GBn/GBn2 via parmed createSystem, blues/settings.py:205-230); anything
-#: else must error rather than silently run vacuum/PME physics
-_GB_MODELS = frozenset()
+#: else must error rather than silently run vacuum/PME physics.
+#: GBn/GBn2 (neck-corrected models) are not implemented — they error.
+_GB_MODELS = frozenset({"HCT", "OBC1", "OBC2"})
 
 #: keys parsed as quantities, with default units for bare numbers
 #: (reference blues/settings.py:139-187 set_Units)
@@ -252,10 +254,41 @@ def load_structure(cfg: dict):
     prmtop_path = struct.get("filename") or struct.get("prmtop")
     if prmtop_path is None:
         raise ValueError("structure.filename (prmtop) required")
+    # implicit solvent (reference set_Apps maps the model string onto
+    # simtk.openmm.app objects consumed by parmed createSystem,
+    # blues/settings.py:205-230; here it selects the GB term in
+    # potentials/gb.py). Kappa: either given directly (1/nm) or derived
+    # from implicitSolventSaltConc with parmed createSystem's formula
+    # kappa[1/A] = 50.33355*sqrt(c/(eps_out*T)) scaled by 0.73923 (the
+    # GB-specific electrostatic factor), converted to 1/nm.
+    imp = sysc.get("implicitSolvent")
+    gb_kwargs = {}
+    if imp is not None:
+        kappa = sysc.get("implicitSolventKappa")
+        if kappa is None:
+            salt = float(sysc.get("implicitSolventSaltConc", 0.0) or 0.0)
+            kappa = 0.0
+            if salt > 0.0:
+                import math
+
+                temp = float(
+                    (cfg.get("simulation", {}) or {}).get("temperature", 298.15)
+                )
+                eps_out = float(sysc.get("solventDielectric", 78.5))
+                kappa = (
+                    10.0 * 0.73923 * 50.33355 * math.sqrt(salt / (eps_out * temp))
+                )
+        gb_kwargs = dict(
+            implicit_solvent=str(imp),
+            implicit_solvent_kappa=float(kappa),
+            solute_dielectric=float(sysc.get("soluteDielectric", 1.0)),
+            solvent_dielectric=float(sysc.get("solventDielectric", 78.5)),
+        )
     system = load_prmtop(
         prmtop_path,
         constraints=str(sysc.get("constraints", "HBonds")),
         hydrogen_mass=sysc.get("hydrogenMass"),
+        **gb_kwargs,
     )
     positions = velocities = None
     box = None

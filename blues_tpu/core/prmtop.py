@@ -146,6 +146,10 @@ def load_prmtop(
     hydrogen_mass: float | None = None,
     scee: float = 1.2,
     scnb: float = 2.0,
+    implicit_solvent: str | None = None,
+    implicit_solvent_kappa: float = 0.0,
+    solute_dielectric: float = 1.0,
+    solvent_dielectric: float = 78.5,
 ) -> System:
     """Build a System from an Amber prmtop.
 
@@ -365,6 +369,27 @@ def load_prmtop(
         bl = s["BOX_DIMENSIONS"][1:4] * 0.1
         box = np.diag(bl)
 
+    # generalized-Born implicit solvent (reference: settings.py:205-230
+    # maps the model string onto app objects for parmed createSystem; here
+    # it selects the GB term in potentials/gb.py, built from the prmtop's
+    # RADII/SCREEN sections)
+    gb = None
+    if implicit_solvent is not None:
+        from ..potentials.gb import gb_params_from_prmtop_sections
+
+        gb = gb_params_from_prmtop_sections(
+            s,
+            model=str(implicit_solvent),
+            solute_dielectric=float(solute_dielectric),
+            solvent_dielectric=float(solvent_dielectric),
+            kappa=float(implicit_solvent_kappa),
+        )
+        if gb is None:
+            raise ValueError(
+                f"{path} carries no RADII/SCREEN sections; cannot build "
+                f"implicitSolvent={implicit_solvent!r}"
+            )
+
     return System(
         masses=masses,
         bonds=bonds,
@@ -374,6 +399,7 @@ def load_prmtop(
         constraints=cons,
         box=box,
         topology=topology,
+        gb=gb,
     )
 
 

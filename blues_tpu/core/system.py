@@ -224,6 +224,10 @@ class System:
     #: reference positions captured when atoms were frozen (enables the
     #: constant-background PME grid optimization; set by freeze_radius)
     frozen_ref_positions: Optional[np.ndarray] = None
+    #: generalized-Born implicit solvent parameters
+    #: (potentials.gb.GBParams, from the prmtop RADII/SCREEN sections;
+    #: reference `implicitSolvent` config, blues/settings.py:205-230)
+    gb: Optional[object] = None
 
     @property
     def n_atoms(self) -> int:

@@ -61,6 +61,34 @@ def make_energy_fn(
         fn = make_custom_pair_energy(cp)
         terms.append(lambda x, box, g, _f=fn: _f(x, box, g))
     bonded_terms = list(terms)
+
+    # generalized-Born implicit solvent (potentials/gb.py; the reference's
+    # `implicitSolvent` config, blues/settings.py:205-230). Without an
+    # alchemical region the term is lambda-independent and joins
+    # bonded_terms (-> cached in the lambda-split E0); with one, its
+    # polarization sum reads lambda_electrostatics (openmmtools GBSAOBC
+    # treatment), so the lambda split is disabled below.
+    gb_alch_atoms = None
+    if system.gb is not None:
+        from .nonbonded import CUTOFF_NONPERIODIC
+
+        if nonbonded_method not in (NO_CUTOFF, CUTOFF_NONPERIODIC):
+            raise ValueError(
+                "implicit solvent (GB) requires a non-periodic nonbonded "
+                f"method, got {nonbonded_method!r} (OpenMM createSystem "
+                "rejects GB + PBC too)"
+            )
+        from .gb import make_gb_energy
+
+        if system.alchemical is not None and len(system.alchemical.atoms):
+            gb_alch_atoms = system.alchemical.atoms
+        gb_fn = make_gb_energy(
+            system.gb, system.nonbonded.charge, alchemical_atoms=gb_alch_atoms
+        )
+        gb_term = lambda x, box, g, _f=gb_fn: _f(x, box, g)
+        terms.append(gb_term)
+        if gb_alch_atoms is None:
+            bonded_terms.append(gb_term)
     nb_fn = None
     if system.nonbonded is not None:
         nb_fn = make_nonbonded_energy(
@@ -133,6 +161,7 @@ def make_energy_fn(
         nb_fn is not None
         and getattr(nb_fn, "lambda_e0", None) is not None
         and not system.custom_pairs
+        and gb_alch_atoms is None
     ):
 
         def _e0_total(positions, box=None):

@@ -145,10 +145,12 @@ def test_settings_strictness(tmp_path):
     # unknown system key (a typo) errors
     with pytest.raises(ValueError, match="unrecognized system key"):
         Settings(base.replace("rigidWater: True", "rigidWaters: True"))
-    # implicitSolvent would run different physics -> rejected until a GB
-    # model exists (reference maps it onto OpenMM app objects,
-    # blues/settings.py:205-230)
+    # unimplemented GB models (reference accepts GBn/GBn2 via parmed,
+    # blues/settings.py:205-230) must error, never run different physics
     with pytest.raises(ValueError, match="implicitSolvent"):
+        Settings(base.replace("rigidWater: True", "implicitSolvent: GBn2\n  rigidWater: True"))
+    # implemented GB models cannot silently combine with a periodic method
+    with pytest.raises(ValueError, match="periodic"):
         Settings(base.replace("rigidWater: True", "implicitSolvent: OBC2\n  rigidWater: True"))
     # flexible water unsupported
     with pytest.raises(ValueError, match="rigidWater"):

@@ -1,0 +1,239 @@
+"""Generalized-Born implicit solvent (HCT/OBC1/OBC2 + ACE SA).
+
+Pins: (a) the vectorized jnp implementation against the independently
+written loop-based f64 oracle (tools/gb_oracle.py) on synthetic systems and
+on the reference's vacDivaline prmtop (185 atoms, the reference's implicit-
+solvent use case); (b) forces against central finite differences; (c) salt
+screening (kappa) monotonicity. OpenMM is not installable here, so the pin
+is equation-level (both implementations transcribed independently from the
+OBC paper / OpenMM reference-kernel equations).
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from blues_tpu.potentials.gb import (
+    GBParams,
+    born_radii,
+    gb_params_from_prmtop_sections,
+    make_gb_energy,
+)
+
+DATA = "/root/reference/blues/tests/data"
+
+
+def _synthetic(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1.2, (n, 3))
+    q = rng.normal(0, 0.4, n)
+    rho = rng.uniform(0.11, 0.21, n)
+    screen = rng.uniform(0.7, 1.1, n)
+    return x, q, rho, screen
+
+
+@pytest.mark.parametrize("model", ["HCT", "OBC1", "OBC2"])
+def test_born_radii_match_oracle(model):
+    from gb_oracle import oracle_born_radii
+
+    x, q, rho, screen = _synthetic()
+    with jax.enable_x64(True):
+        B = np.asarray(
+            born_radii(jnp.asarray(x), jnp.asarray(rho), jnp.asarray(screen), model)
+        )
+    B_ref = oracle_born_radii(x, rho, screen, model)
+    assert np.allclose(B, B_ref, rtol=1e-10), np.abs(B - B_ref).max()
+    assert (B >= rho - 0.009 - 1e-9).all()  # Born radius >= offset radius
+
+
+@pytest.mark.parametrize("model", ["HCT", "OBC2"])
+@pytest.mark.parametrize("kappa", [0.0, 0.73])
+def test_gb_energy_matches_oracle(model, kappa):
+    from gb_oracle import oracle_gb_energy
+
+    x, q, rho, screen = _synthetic(seed=1)
+    gb = GBParams(radii=rho, screen=screen, model=model, kappa=kappa)
+    efn = make_gb_energy(gb, q)
+    with jax.enable_x64(True):
+        e = float(efn(jnp.asarray(x)))
+    e_ref, _ = oracle_gb_energy(x, q, rho, screen, model, kappa=kappa)
+    assert e == pytest.approx(e_ref, rel=1e-10), (e, e_ref)
+
+
+def test_gb_forces_match_finite_differences():
+    x, q, rho, screen = _synthetic(n=25, seed=2)
+    gb = GBParams(radii=rho, screen=screen, model="OBC2")
+    efn = make_gb_energy(gb, q)
+    with jax.enable_x64(True):
+        xj = jnp.asarray(x)
+        g = np.asarray(jax.grad(lambda y: efn(y))(xj))
+        rng = np.random.default_rng(3)
+        for _ in range(4):
+            d = rng.standard_normal(x.shape)
+            d /= np.linalg.norm(d)
+            h = 1e-6
+            ep = float(efn(jnp.asarray(x + h * d)))
+            em = float(efn(jnp.asarray(x - h * d)))
+            fd = (ep - em) / (2 * h)
+            an = float(np.sum(g * d))
+            assert an == pytest.approx(fd, rel=2e-6, abs=1e-6), (an, fd)
+
+
+def test_alchemical_lambda_scales_gb_charges():
+    """openmmtools GBSAOBC alchemical treatment: alchemical atoms' charges
+    enter E_pol as lambda*q; Born radii / ACE are unaffected. At any lambda
+    the energy must equal the oracle evaluated with those charges scaled."""
+    from gb_oracle import oracle_gb_energy
+
+    x, q, rho, screen = _synthetic(seed=5)
+    alch = np.array([0, 3, 7, 11])
+    gb = GBParams(radii=rho, screen=screen, model="OBC2")
+    efn = make_gb_energy(gb, q, alchemical_atoms=alch)
+    with jax.enable_x64(True):
+        for lam in (1.0, 0.37, 0.0):
+            e = float(efn(jnp.asarray(x), globals_={"lambda_electrostatics": lam}))
+            q_scaled = q.copy()
+            q_scaled[alch] *= lam
+            e_ref, _ = oracle_gb_energy(x, q_scaled, rho, screen, "OBC2")
+            assert e == pytest.approx(e_ref, rel=1e-10), (lam, e, e_ref)
+        # no globals -> lambda defaults to 1 (the MD context)
+        e_md = float(efn(jnp.asarray(x)))
+        e_full, _ = oracle_gb_energy(x, q, rho, screen, "OBC2")
+        assert e_md == pytest.approx(e_full, rel=1e-10)
+
+
+def test_salt_screening_strengthens_solvation():
+    """Debye-Hueckel salt adds a favorable ionic-atmosphere contribution:
+    the GB prefactor (1/eps_in - exp(-kappa f)/eps_out) grows with kappa,
+    so E_pol becomes MORE negative (the OpenMM/Srinivasan convention)."""
+    x, q, rho, screen = _synthetic(seed=4)
+    es = []
+    for kappa in (0.0, 0.5, 2.0):
+        gb = GBParams(radii=rho, screen=screen, model="OBC2", kappa=kappa,
+                      include_ace=False)
+        es.append(float(make_gb_energy(gb, q)(jnp.asarray(x, jnp.float64))))
+    assert 0.0 > es[0] > es[1] > es[2], es
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="no reference data")
+def test_config_obc2_runs_gb_physics(tmp_path):
+    """`implicitSolvent: OBC2` in the YAML must actually add the GB term
+    (VERDICT r3 missing #3: previously parsed-and-ignored). The config-built
+    system's MD energy must equal vacuum + the oracle's GB energy."""
+    from gb_oracle import oracle_gb_energy
+
+    from blues_tpu import units
+    from blues_tpu.config.settings import Settings, create_simulation
+    from blues_tpu.core.amber_coords import load_inpcrd
+    from blues_tpu.core.prmtop import Prmtop
+
+    cfg = {
+        "output_dir": str(tmp_path),
+        "outfname": "gbtest",
+        "structure": {
+            "filename": f"{DATA}/vacDivaline.prmtop",
+            "inpcrd": f"{DATA}/vacDivaline.inpcrd",
+        },
+        "ligand": {"resname": "LIG"},
+        "system": {
+            "nonbondedMethod": "NoCutoff",
+            "constraints": "HBonds",
+            "implicitSolvent": "OBC2",
+            "implicitSolventSaltConc": 0.1,
+        },
+        "simulation": {
+            "nIter": 1, "nstepsNC": 4, "nstepsMD": 4,
+            "temperature": 300, "dt": 0.002, "moveStep": 2,
+        },
+    }
+    sim, _, _ = create_simulation(Settings(cfg))
+    assert sim.system.gb is not None
+    assert sim.system.gb.model == "OBC2"
+    assert sim.system.gb.kappa > 0.0  # salt conc -> Debye kappa (1/nm)
+    # energy difference vs the same config without GB == oracle GB energy
+    cfg_vac = {**cfg, "system": {k: v for k, v in cfg["system"].items()
+                                 if not k.startswith("implicit")}}
+    sim_vac, _, _ = create_simulation(Settings(cfg_vac))
+    x = jnp.asarray(load_inpcrd(f"{DATA}/vacDivaline.inpcrd").positions,
+                    jnp.float32)
+    e_gb = float(sim.energy_md(x))
+    e_vac = float(sim_vac.energy_md(x))
+    s = Prmtop.load(f"{DATA}/vacDivaline.prmtop").sections
+    q = np.asarray(s["CHARGE"]) / units.AMBER_CHARGE_SCALE
+    e_ref, _ = oracle_gb_energy(
+        np.asarray(x, np.float64), q, np.asarray(s["RADII"]) / 10.0,
+        np.asarray(s["SCREEN"]), "OBC2", kappa=sim.system.gb.kappa,
+    )
+    assert e_gb - e_vac == pytest.approx(e_ref, rel=2e-4), (e_gb - e_vac, e_ref)
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="no reference data")
+def test_gb_ncmc_iteration_runs():
+    """A short NCMC iteration on vacDivaline under OBC2 executes with finite
+    protocol work and sane acceptance bookkeeping (the reference's implicit-
+    solvent use case, blues/settings.py:205-230 + vacDivaline test data)."""
+    import jax as _jax
+
+    from blues_tpu.core.amber_coords import load_inpcrd
+    from blues_tpu.core.prmtop import load_prmtop
+    from blues_tpu.moves import MoveEngine, RandomLigandRotationMove
+    from blues_tpu.simulation import BLUESSimulation, SimulationConfig
+
+    system = load_prmtop(f"{DATA}/vacDivaline.prmtop", implicit_solvent="OBC2")
+    assert system.gb is not None
+    lig = np.arange(10)  # first residue's atoms as the rotatable group
+    from blues_tpu.core.system import AlchemicalRegion
+
+    system = system.replace(alchemical=AlchemicalRegion(atoms=lig))
+    cfg = SimulationConfig(
+        nIter=2, nstepsNC=10, nstepsMD=10, temperature=300.0, dt=0.001,
+        moveStep=5, nonbonded_method="NoCutoff",
+    )
+    sim = BLUESSimulation(
+        system, MoveEngine(RandomLigandRotationMove(lig, system.masses)), cfg
+    )
+    x = np.asarray(load_inpcrd(f"{DATA}/vacDivaline.inpcrd").positions)
+    sim.initialize(x, key=_jax.random.PRNGKey(7))
+    stats, _, _ = sim.run_iteration()
+    w = float(np.asarray(stats.protocol_work))
+    assert np.isfinite(w), w
+    assert np.isfinite(np.asarray(sim.state.positions)).all()
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="no reference data")
+def test_vacdivaline_obc2_oracle_pin():
+    """The reference's implicit-solvent test molecule (vacDivaline, 185
+    atoms): full-system OBC2 energy pinned against the loop oracle, Born
+    radii in a physical range."""
+    from gb_oracle import oracle_gb_energy
+
+    from blues_tpu import units
+    from blues_tpu.core.amber_coords import load_inpcrd
+    from blues_tpu.core.prmtop import Prmtop
+
+    top = Prmtop.load(f"{DATA}/vacDivaline.prmtop")
+    s = top.sections
+    gb = gb_params_from_prmtop_sections(s)
+    assert gb is not None, "vacDivaline.prmtop must carry RADII/SCREEN"
+    q = np.asarray(s["CHARGE"]) / units.AMBER_CHARGE_SCALE
+    x = np.asarray(load_inpcrd(f"{DATA}/vacDivaline.inpcrd").positions)
+    efn = make_gb_energy(gb, q)
+    with jax.enable_x64(True):
+        e = float(efn(jnp.asarray(x)))
+        B = np.asarray(
+            born_radii(jnp.asarray(x), jnp.asarray(gb.radii),
+                       jnp.asarray(gb.screen), "OBC2")
+        )
+    e_ref, B_ref = oracle_gb_energy(x, q, gb.radii, gb.screen, "OBC2")
+    assert e == pytest.approx(e_ref, rel=1e-9), (e, e_ref)
+    assert np.allclose(B, B_ref, rtol=1e-9)
+    # physical: Born radii bounded below by intrinsic radii (descreening
+    # only ever GROWS the effective radius vs the bare offset radius)
+    assert (B > 0.05).all() and (B < 5.0).all()
+    assert e < 0.0  # net solvation of a polar peptide is favorable
