@@ -105,3 +105,58 @@ def test_replica_sharded_iteration():
     assert np.isfinite(np.asarray(stats.protocol_work)).all()
     # sharding preserved on outputs
     assert len(xo.sharding.device_set) == 8
+
+
+@needs_data
+def test_replica_sharded_matches_unsharded():
+    """VERDICT r4 item 2 (second half): the replica-sharded iteration must
+    AGREE with the unsharded vmapped iteration at a mid size, not merely
+    execute. Replica-axis sharding partitions an embarrassingly parallel
+    batch, so per-replica results must match the single-device run to
+    within f32 reduction-reassociation noise (threefry counters make the
+    proposal streams identical by construction)."""
+    from blues_tpu.parallel.mesh import (
+        make_replica_mesh, make_sharded_iteration, shard_simulation_state,
+    )
+
+    system = load_prmtop(f"{DATA}/TOL-parm.prmtop")
+    crd = load_inpcrd(f"{DATA}/TOL-parm.inpcrd")
+    system = system.replace(box=crd.box, alchemical=None)
+    lig = system.topology.select_resname("TOL")
+    if not len(lig):
+        lig = np.arange(15)
+    cfg = SimulationConfig(
+        nIter=1, nstepsNC=8, nstepsMD=8, temperature=300.0, dt=0.001,
+        moveStep=4, n_replicas=16, nonbonded_method="PME", cutoff=0.9,
+    )
+    sim = BLUESSimulation(
+        system, RandomLigandRotationMove(lig, system.masses), cfg
+    )
+    sim.initialize(crd.positions, key=jax.random.PRNGKey(11))
+    s = sim.state
+    args = ((s.positions, s.velocities, s.box), s.rng_key)
+
+    (x1, v1, _, _), stats1, _, _ = sim._iteration(*args)
+    jax.block_until_ready(x1)
+
+    mesh = make_replica_mesh()
+    shard_simulation_state(sim, mesh)
+    step = make_sharded_iteration(sim, mesh)
+    s = sim.state
+    (x2, v2, _, _), stats2, _, _ = step(
+        (s.positions, s.velocities, s.box), s.rng_key
+    )
+    jax.block_until_ready(x2)
+    assert len(x2.sharding.device_set) == 8
+
+    np.testing.assert_array_equal(
+        np.asarray(stats1.accepted), np.asarray(stats2.accepted)
+    )
+    w1 = np.asarray(stats1.protocol_work)
+    w2 = np.asarray(stats2.protocol_work)
+    fin = np.isfinite(w1)
+    np.testing.assert_array_equal(fin, np.isfinite(w2))
+    np.testing.assert_allclose(w1[fin], w2[fin], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(x2), rtol=1e-6, atol=1e-6
+    )
