@@ -109,6 +109,13 @@ class SimulationConfig:
     #: function; the dynamics RNG stream differs from the full-array path
     #: (noise is drawn per mobile atom, not per atom).
     frozen_compact: object = "auto"
+    #: fault injection for the failure-recovery path (testing only):
+    #: probability per replica-iteration of poisoning the post-MD positions
+    #: to NaN, forcing the md_ok rollback. Lets tests PROVE the rollback
+    #: leaves the sampled ensemble unbiased (tests/test_md_rollback_ensemble
+    #: reproduces the ethylene [0.25, 0.75] gate under ~30% forced
+    #: rollbacks) without contriving an unstable protocol.
+    md_fault_injection: float = 0.0
 
 
 @pytree_dataclass
@@ -455,6 +462,10 @@ class BLUESSimulation:
                 carry = run_md_steps(carry, n_rem)
             xm, vm, _, key, box = carry
 
+            if self.cfg.md_fault_injection > 0.0:
+                key, fk = jax.random.split(key)
+                fault = jax.random.uniform(fk, ()) < self.cfg.md_fault_injection
+                xm = jnp.where(fault, jnp.full_like(xm, jnp.nan), xm)
             e_md_end = energy_md(x.at[mob_j].set(xm), box, None)
             md_ok = jnp.isfinite(e_md_end) & jnp.all(jnp.isfinite(xm))
             xm = jnp.where(md_ok, xm, xm_keep)
@@ -546,6 +557,10 @@ class BLUESSimulation:
                 carry = (x, v, f, key, box, bstate)
             x, v, _, key, box, bstate = carry
 
+            if self.cfg.md_fault_injection > 0.0:
+                key, fk = jax.random.split(key)
+                fault = jax.random.uniform(fk, ()) < self.cfg.md_fault_injection
+                x = jnp.where(fault, jnp.full_like(x, jnp.nan), x)
             e_md_end = energy_md(x, box, None)
             md_ok = jnp.isfinite(e_md_end) & jnp.all(jnp.isfinite(x))
             x = jnp.where(md_ok, x, x_keep)
