@@ -302,6 +302,20 @@ def make_nonbonded_energy(
                 backend = "cells" if mobile_frac > 0.5 else "sweep"
             else:
                 backend = "cells" if mobile_frac > 0.5 else "tiled"
+    if backend == "pcells":
+        # the Pallas cells-neighborhood kernel: orthorhombic periodic boxes
+        # with >= 3 cells/dim; anything else falls back to the XLA cells
+        # path (which then applies its own eligibility rules)
+        from .cells import _grid_shape as _gs
+
+        ok = (
+            method in (PME, CUTOFF_PERIODIC)
+            and box_for_pme is not None
+            and not triclinic_box
+            and int(_gs(np.diag(np.asarray(box_for_pme)), cutoff).min()) >= 3
+        )
+        if not ok:
+            backend = "cells"
     if backend in ("cells", "verlet"):
         # cell/verlet lists need a periodic box and a grid of >= 27 cells
         from .cells import _grid_shape, _perp_widths
@@ -331,7 +345,7 @@ def make_nonbonded_energy(
             import jax as _jax
 
             backend = "pallas" if _jax.default_backend() == "tpu" else "tiled"
-    if backend in ("tiled", "pallas", "cells", "verlet", "sweep"):
+    if backend in ("tiled", "pallas", "cells", "verlet", "sweep", "pcells"):
         return _make_pair_backend_energy(
             nb,
             method=method,
@@ -941,6 +955,10 @@ def _make_pair_backend_energy(
         from .pallas.pair_kernel import make_pallas_pair_sum
 
         pair_sum = make_pallas_pair_sum(feats, col_idx=col_idx, **common)
+    elif backend == "pcells":
+        from .pallas.cells_kernel import make_pallas_cells_pair_sum
+
+        pair_sum = make_pallas_cells_pair_sum(feats, box0=box_for_pme, **common)
     elif backend == "cells":
         from .cells import make_cell_pair_sum
 

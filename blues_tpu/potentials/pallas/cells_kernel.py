@@ -1,0 +1,362 @@
+"""VMEM-accumulator Pallas kernel over cell-list neighborhoods (unfrozen).
+
+The XLA cells backend (potentials/cells.py) is HBM-bandwidth-bound: each
+CELL_CHUNK of row cells gathers its 27-neighborhood columns into
+(CHUNK, 27*cap, C) HBM intermediates before the pair math ever runs — at
+22k unfrozen atoms that is the measured ~10 ms/eval floor. This kernel
+keeps every (cell x neighbor-cell) pair tile in VMEM and accumulates
+energy and row forces in-register, exactly the machinery that took the
+culled frozen sweep from 46.3 to 20.8 ms/step-batch
+(pallas/sweep_kernel.py, docs/perf_decomposition_r256.json) — applied to
+the mostly-mobile pair space the reference's default (no freeze section)
+workflow runs (VERDICT r3 next #6: a measured keep/retire decision for a
+Pallas cells kernel).
+
+Structure:
+  * binning (outside the kernel, XLA): atoms are packed per cell into a
+    channel buffer, TRANSPOSED to (n_cells+1, 16, cap) so atoms ride the
+    lane dimension (the sweep kernel's proven layout); `cap` is rounded to
+    a multiple of 128 (Mosaic lane tiling);
+  * grid = (n_cells, 27): block i loads its row-cell block once and sweeps
+    its 27 neighbor column blocks, whose block index comes from the
+    precomputed neighbor table via scalar prefetch
+    (pltpu.PrefetchScalarGridSpec index_map);
+  * per-(cell, neighbor) image shifts ride an SMEM (1, 8) row per grid
+    step: [sx, sy, sz, first_flag, 0...]; `first_flag` (j == 0) replaces
+    pl.program_id for the output-accumulator zero-init, so jax.vmap
+    (which prepends a grid dimension) stays safe — same trick as the
+    sweep kernel's F_FIRST column flag;
+  * per-pair math is the shared potentials.pairs formulas — identical to
+    dense/tiled/cells/sweep, which are its correctness references
+    (tests/test_pallas_cells.py pins f32 agreement + vmap consistency).
+
+Semantics match the XLA cells backend: both-sides neighborhood visit
+(row-row pairs weighted 1/2), box-wrapped positions with static lattice
+shifts (requires >= 3 cells per dimension), overflow/NPT-shrink poisons
+BOTH outputs to NaN (rejected iteration / MD rollback — never silent
+drops). Orthorhombic boxes only; triclinic stays on the XLA cells path.
+
+Replaces the role of OpenMM's CUDA neighbor-list nonbonded kernels for
+unfrozen systems (reference default System, blues/simulation.py:221-317).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..pairs import pair_energy_force
+from ..cells import _grid_shape, _neighbor_table
+
+# channel rows of the transposed (16, cap) cell blocks
+C_X, C_Y, C_Z, C_QSTD, C_QALCH, C_SIG, C_EPS, C_ALCH = 0, 1, 2, 3, 4, 5, 6, 7
+C_INROWS, C_GID = 8, 9
+NCHAN = 16  # padded to the f32 sublane multiple
+
+# SMEM per-(cell, nbr) row: [shift_x, shift_y, shift_z, first_flag, ...]
+S_SX, S_SY, S_SZ, S_FIRST = 0, 1, 2, 3
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(
+    *, method, cutoff, alpha_ewald, k_rf, c_rf, ann, softcore_alpha,
+    switch_distance, alch_coulomb, cap, n_atoms,
+):
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    def kernel(nbr_ref, params_ref, sh_ref, rows_ref, cols_ref, out_ref):
+        lam_s = params_ref[0, 0]
+        f_na = params_ref[0, 1]
+        f_aa = params_ref[0, 2]
+        is_first = sh_ref[0, 0, S_FIRST] > 0
+
+        dxs = []
+        r2 = jnp.zeros((cap, cap), jnp.float32)
+        for d, (sl, c) in enumerate(((S_SX, C_X), (S_SY, C_Y), (S_SZ, C_Z))):
+            # positions are box-wrapped; the per-(cell, nbr) lattice shift
+            # (in box lengths, scaled host-side) IS the minimum image
+            xi = rows_ref[0, c, :][:, None]
+            xj = cols_ref[0, c, :][None, :] + sh_ref[0, 0, sl]
+            dx = xi - xj
+            dxs.append(dx)
+            r2 = r2 + dx * dx
+
+        gid_i = rows_ref[0, C_GID, :][:, None]
+        gid_j = cols_ref[0, C_GID, :][None, :]
+        valid = (
+            (gid_i != gid_j)
+            & (gid_i < n_atoms)
+            & (gid_j < n_atoms)
+            & (r2 < cutoff * cutoff)
+        )
+        r2 = jnp.maximum(r2, 1e-6)
+
+        qs_i = rows_ref[0, C_QSTD, :][:, None]
+        qs_j = cols_ref[0, C_QSTD, :][None, :]
+        qa_i = rows_ref[0, C_QALCH, :][:, None]
+        qa_j = cols_ref[0, C_QALCH, :][None, :]
+        sij = 0.5 * (rows_ref[0, C_SIG, :][:, None] + cols_ref[0, C_SIG, :][None, :])
+        eij = jnp.sqrt(rows_ref[0, C_EPS, :][:, None] * cols_ref[0, C_EPS, :][None, :])
+        ai = rows_ref[0, C_ALCH, :][:, None]
+        aj = cols_ref[0, C_ALCH, :][None, :]
+        aa = ai * aj
+        scale_ster = ai + aj - 2.0 * aa + ann * aa
+
+        e, g = pair_energy_force(
+            r2, sij, eij,
+            qs_i * qs_j,
+            qs_i * qa_j + qa_i * qs_j,
+            qa_i * qa_j,
+            scale_ster,
+            lam_sterics=lam_s, f_na=f_na, f_aa=f_aa, method=method,
+            alpha_ewald=alpha_ewald, k_rf=k_rf, c_rf=c_rf,
+            softcore_alpha=softcore_alpha, switch_distance=switch_distance,
+            cutoff=cutoff, alch_coulomb=alch_coulomb,
+        )
+        e = jnp.where(valid, e, 0.0)
+        g = jnp.where(valid, g, 0.0)
+        # both-sides visit: row-row pairs are seen from each side -> 1/2
+        wcol = (
+            1.0
+            - 0.5
+            * rows_ref[0, C_INROWS, :][:, None]
+            * cols_ref[0, C_INROWS, :][None, :]
+        )
+
+        @pl.when(is_first)
+        def _():
+            out_ref[0, :, :] = jnp.zeros((8, cap), jnp.float32)
+
+        for d in range(3):
+            out_ref[0, d, :] += -jnp.sum(g * dxs[d], axis=1)
+        out_ref[0, 3, :] += jnp.sum(wcol * e, axis=1)
+
+    return kernel
+
+
+def make_pallas_cells_pair_sum(
+    feats,
+    *,
+    method: str,
+    cutoff: float,
+    alpha_ewald: float,
+    k_rf: float,
+    c_rf: float,
+    annihilate_sterics: bool,
+    softcore_alpha: float = 0.5,
+    periodic: bool = True,
+    switch_distance: float = None,
+    box0=None,
+    alch_coulomb: bool = False,
+    interpret: bool = None,
+):
+    """Same interface as make_cell_pair_sum: pair_sum(x, box, lam_s, f_na,
+    f_aa) -> (E, F), .energy = custom-VJP scalar reusing the analytic
+    forces. Rows = feats.row_idx (frozen rows excluded, like cells)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .. import triclinic
+
+    if not periodic or box0 is None:
+        raise ValueError("pallas-cells backend requires a periodic box")
+    if triclinic.is_triclinic(np.asarray(box0)):
+        raise ValueError("pallas-cells backend is orthorhombic-only; "
+                         "triclinic boxes use the XLA cells backend")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n = feats.n_atoms
+    nr = feats.n_rows
+    L0 = np.diag(np.asarray(box0, np.float64))
+    ncells = _grid_shape(L0, cutoff)
+    nc_tot = int(np.prod(ncells))
+    if nc_tot < 27 or int(ncells.min()) < 3:
+        raise ValueError(
+            f"grid {tuple(ncells)} too small for the pallas-cells kernel "
+            "(needs >= 3 cells per dimension); use 'cells' or 'tiled'"
+        )
+    mean_all = n / nc_tot
+    # occupancy headroom as in cells.py, then rounded UP to the f32 lane
+    # tile (128) — Mosaic block alignment; overflow poisons, never drops
+    cap = _round_up(int(np.ceil(mean_all + 5.0 * np.sqrt(mean_all) + 8.0)), 128)
+
+    table, shifts = _neighbor_table(ncells, half=False)  # (nc, 27) / (nc, 27, 3)
+    n_nbr = 27
+    # pad the neighbor table target to the ghost marker cell nc_tot
+    nbr_np = np.asarray(table, np.int32)
+    # SMEM rows: [sx, sy, sz, first, 0...] per (cell, nbr), flattened
+    sh_np = np.zeros((nc_tot * n_nbr, 8), np.float32)
+    sh_np[:, 0:3] = np.asarray(shifts, np.float32).reshape(nc_tot * n_nbr, 3)
+    sh_np.reshape(nc_tot, n_nbr, 8)[:, 0, S_FIRST] = 1.0
+
+    ncells_j = jnp.asarray(ncells.astype(np.float64))
+    strides = jnp.asarray(
+        [int(ncells[1] * ncells[2]), int(ncells[2]), 1], jnp.int32
+    )
+    row_is_all = nr == n
+    row_idx = jnp.asarray(np.asarray(feats.row_idx[:nr], np.int64))
+    ann = 1.0 if annihilate_sterics else 0.0
+    ghost = n
+
+    kernel = _make_kernel(
+        method=method, cutoff=cutoff, alpha_ewald=alpha_ewald, k_rf=k_rf,
+        c_rf=c_rf, ann=ann, softcore_alpha=softcore_alpha,
+        switch_distance=switch_distance, alch_coulomb=alch_coulomb,
+        cap=cap, n_atoms=n,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the (nc, 27) neighbor table
+        grid=(nc_tot, n_nbr),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, j, nbr: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # (nc*27, 1, 8) with block (1, 1, 8): minor dims equal the
+            # overall dims, satisfying the Mosaic block-shape rule a
+            # (1, 8)-blocked (nc*27, 8) operand violates
+            pl.BlockSpec((1, 1, 8), lambda i, j, nbr: (i * n_nbr + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCHAN, cap), lambda i, j, nbr: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCHAN, cap), lambda i, j, nbr: (nbr[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, cap), lambda i, j, nbr: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out_shape = jax.ShapeDtypeStruct((nc_tot, 8, cap), jnp.float32)
+    flops_per_pair = 80
+    cost = pl.CostEstimate(
+        flops=flops_per_pair * nc_tot * n_nbr * cap * cap,
+        bytes_accessed=4 * nc_tot * n_nbr * NCHAN * cap * 2,
+        transcendentals=3 * nc_tot * n_nbr * cap * cap,
+    )
+
+    nbr_j = jnp.asarray(nbr_np)
+    sh_j = jnp.asarray(sh_np)
+    q_std = jnp.asarray(np.asarray(feats.q_std[:n], np.float32))
+    q_alch = jnp.asarray(np.asarray(feats.q_alch[:n], np.float32))
+    sig = jnp.asarray(np.asarray(feats.sigma[:n], np.float32))
+    eps = jnp.asarray(np.asarray(feats.epsilon[:n], np.float32))
+    alch = jnp.asarray(np.asarray(feats.alch[:n], np.float32))
+    in_rows = jnp.asarray(np.asarray(feats.in_rows[:n], np.float32))
+    gid_f = jnp.arange(n, dtype=jnp.float32)
+
+    def _bin(cid):
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(cid, jnp.int32), cid, num_segments=nc_tot
+        )
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
+        )
+        order = jnp.argsort(cid).astype(jnp.int32)
+        sorted_cid = cid[order]
+        rank = (
+            jnp.arange(n, dtype=jnp.int32) - offsets[sorted_cid]
+        ).astype(jnp.int32)
+        slot = jnp.minimum(rank, cap - 1)
+        overflow = counts.max() > cap
+        return order, sorted_cid, slot, overflow
+
+    def _pass(x, box, lam_s, f_na, f_aa):
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        L = jnp.diagonal(box).astype(jnp.float32)
+        xw = xf - L * jnp.floor(xf / L)
+        frac = xw / L
+        ci = jnp.clip(
+            jnp.floor(frac * ncells_j.astype(jnp.float32)).astype(jnp.int32),
+            0,
+            jnp.asarray(ncells - 1, jnp.int32),
+        )
+        cid = ci @ strides
+        order, sorted_cid, slot, overflow = _bin(cid)
+        # transposed channel pack: (nc+1, 16, cap), ghost rows inert
+        chan = jnp.stack(
+            [
+                xw[:, 0], xw[:, 1], xw[:, 2],
+                q_std, q_alch, sig, eps, alch, in_rows, gid_f,
+            ]
+            + [jnp.zeros(n, jnp.float32)] * (NCHAN - 10),
+            axis=0,
+        )  # (16, n)
+        ghost_col = jnp.zeros((NCHAN,), jnp.float32)
+        ghost_col = ghost_col.at[C_X:C_Z + 1].set(1e3).at[C_GID].set(ghost)
+        buf = jnp.broadcast_to(
+            ghost_col[:, None], (NCHAN, (nc_tot + 1) * cap)
+        )
+        buf = buf.at[:, sorted_cid * cap + slot].set(chan[:, order])
+        bufs = (
+            buf.reshape(NCHAN, nc_tot + 1, cap).transpose(1, 0, 2)
+        )  # (nc+1, 16, cap)
+
+        # image shifts are stored in box lengths -> scale to nm here
+        sh_scaled = sh_j.at[:, 0:3].multiply(L[None, :])[:, None, :]
+        params = jnp.zeros((1, 8), jnp.float32)
+        params = params.at[0, 0].set(jnp.asarray(lam_s, jnp.float32))
+        params = params.at[0, 1].set(jnp.asarray(f_na, jnp.float32))
+        params = params.at[0, 2].set(jnp.asarray(f_aa, jnp.float32))
+
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(nbr_j, params, sh_scaled, bufs[:nc_tot], bufs)
+
+        # scatter row forces back by packed gid; ghost/pad rows drop
+        gid_cells = bufs[:nc_tot, C_GID, :].astype(jnp.int32).reshape(-1)
+        f_rows = out[:, 0:3, :].transpose(0, 2, 1).reshape(-1, 3)
+        e_cells = out[:, 3, :]
+        if not row_is_all:
+            # frozen systems: only row atoms contribute (cells backend
+            # parity) — mask non-rows out of E and F by in_rows channel
+            rmask = bufs[:nc_tot, C_INROWS, :].reshape(-1)
+            f_rows = f_rows * rmask[:, None]
+            e_cells = e_cells * bufs[:nc_tot, C_INROWS, :]
+        f = (
+            jnp.zeros((n + 1, 3), jnp.float32)
+            .at[jnp.minimum(gid_cells, n)]
+            .add(f_rows, mode="drop")
+        )
+        e_total = jnp.sum(e_cells)
+        # grid validity: NPT shrink below the cutoff or bin overflow
+        invalid = overflow | jnp.any(L / ncells_j.astype(jnp.float32) < cutoff)
+        poison = jnp.where(invalid, jnp.nan, 0.0).astype(dtype)
+        return e_total.astype(dtype) + poison, f[:n].astype(dtype) + poison
+
+    @jax.custom_vjp
+    def pair_energy(x, box, lam_s, f_na, f_aa):
+        e, _ = _pass(x, box, lam_s, f_na, f_aa)
+        return e
+
+    def fwd(x, box, lam_s, f_na, f_aa):
+        e, f = _pass(x, box, lam_s, f_na, f_aa)
+        return e, (f, box, lam_s, f_na, f_aa)
+
+    def bwd(res, ct):
+        f, box, lam_s, f_na, f_aa = res
+        return (
+            -f * ct,
+            jnp.zeros_like(box),
+            jnp.zeros_like(lam_s),
+            jnp.zeros_like(f_na),
+            jnp.zeros_like(f_aa),
+        )
+
+    pair_energy.defvjp(fwd, bwd)
+
+    def pair_sum(x, box, lam_s, f_na, f_aa):
+        return _pass(x, box, lam_s, f_na, f_aa)
+
+    pair_sum.energy = pair_energy
+    pair_sum.grid = tuple(int(v) for v in ncells)
+    pair_sum.capacities = (cap, cap)
+    return pair_sum
