@@ -233,8 +233,10 @@ def make_nonbonded_energy(
     'tiled' (scan over row tiles, any size), 'pallas' (TPU kernel),
     'sweep' (VMEM-accumulator Pallas kernel for culled frozen systems;
     falls back to pallas when column culling doesn't engage), 'cells',
-    'verlet', or 'auto' (dense below 4096 atoms; on TPU: cells for
-    mostly-mobile, sweep for mostly-frozen; on CPU: cells/tiled).
+    'pcells' (VMEM-accumulator Pallas kernel over cell neighborhoods,
+    orthorhombic periodic boxes with >= 3 cells/dim; falls back to
+    cells), 'verlet', or 'auto' (dense below 4096 atoms; on TPU: cells
+    for mostly-mobile, sweep for mostly-frozen; on CPU: cells/tiled).
     frozen_cull_skin: with frozen atoms + a cutoff method, statically cull
     pair-kernel columns to atoms within (cutoff + skin) of the mobile rows'
     build positions; a displacement guard poisons the energy to NaN if a
