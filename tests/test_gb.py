@@ -174,6 +174,37 @@ def test_config_obc2_runs_gb_physics(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.isdir(DATA), reason="no reference data")
+def test_config_kappa_keys(tmp_path):
+    """implicitSolventKappa is taken verbatim (1/nm); when absent,
+    implicitSolventSaltConc derives kappa via the parmed createSystem
+    formula (50.33355*sqrt(c/(eps*T)) 1/A * 0.73923 GB scaling)."""
+    from blues_tpu.config.settings import Settings, load_structure
+
+    base = {
+        "output_dir": str(tmp_path), "outfname": "k",
+        "structure": {"filename": f"{DATA}/vacDivaline.prmtop",
+                      "inpcrd": f"{DATA}/vacDivaline.inpcrd"},
+        "system": {"nonbondedMethod": "NoCutoff", "constraints": "HBonds",
+                   "implicitSolvent": "OBC2", "implicitSolventKappa": 0.77},
+        "simulation": {"nIter": 1, "nstepsNC": 2, "nstepsMD": 2,
+                       "temperature": 300},
+    }
+    sys1, _, _ = load_structure(Settings(base).asDict())
+    assert sys1.gb.kappa == pytest.approx(0.77)
+    cfg2 = {**base, "system": {**base["system"]}}
+    del cfg2["system"]["implicitSolventKappa"]
+    cfg2["system"]["implicitSolventSaltConc"] = 0.15
+    sys2, _, _ = load_structure(Settings(cfg2).asDict())
+    expected = 10.0 * 0.73923 * 50.33355 * np.sqrt(0.15 / (78.5 * 300.0))
+    assert sys2.gb.kappa == pytest.approx(expected, rel=1e-12)
+    # no salt, no kappa -> pure (unscreened) GB
+    cfg3 = {**base, "system": {**base["system"]}}
+    del cfg3["system"]["implicitSolventKappa"]
+    sys3, _, _ = load_structure(Settings(cfg3).asDict())
+    assert sys3.gb.kappa == 0.0
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="no reference data")
 def test_gb_ncmc_iteration_runs():
     """A short NCMC iteration on vacDivaline under OBC2 executes with finite
     protocol work and sane acceptance bookkeeping (the reference's implicit-
