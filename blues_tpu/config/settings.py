@@ -204,12 +204,14 @@ class Settings:
                 f"implicitSolvent {imp!r} is not supported; implemented "
                 f"GB models: {sorted(_GB_MODELS)}"
             )
-        if imp is not None and str(sysc.get("nonbondedMethod", "NoCutoff")) in (
-            "PME", "Ewald", "CutoffPeriodic"
+        if imp is not None and str(sysc.get("nonbondedMethod", "NoCutoff")) != (
+            "NoCutoff"
         ):
             raise ValueError(
-                "implicitSolvent cannot combine with a periodic "
-                "nonbondedMethod (OpenMM createSystem rejects this too)"
+                "implicitSolvent requires nonbondedMethod: NoCutoff "
+                "(periodic methods are invalid with GB — OpenMM "
+                "createSystem rejects them too — and the truncated "
+                "CutoffNonPeriodic GBSAOBC variant is not implemented)"
             )
         sim = cfg.get("simulation", {}) or {}
         self._check_keys(sim, "simulation", _SIMULATION_KEYS, _SIMULATION_KEYS_NOOP)

@@ -133,9 +133,18 @@ class SmartDartMove(Move):
         # translate preserving the offset from the dart center
         # (changevec, reference :1293-1297)
         shift = darts[target] - darts[current]
-        do_move = in_any & ~overlap
+        # the veto must be two-sided: a proposal LANDING in an overlap
+        # region is exactly the reverse of a proposal STARTING there, so
+        # accepting the forward while always vetoing the reverse would
+        # break detailed balance. The destination COM is inside the target
+        # dart by construction (the offset is preserved); veto if it is
+        # inside any OTHER dart too.
+        d_dest = jnp.linalg.norm(darts - (com + shift), axis=-1)
+        dest_overlap = jnp.sum((d_dest < self.dart_radius).astype(jnp.int32)) > 1
+        veto = overlap | (in_any & dest_overlap)
+        do_move = in_any & ~veto
         new_x = x.at[lig].add(jnp.where(do_move, 1.0, 0.0) * shift[None, :])
-        return new_x, overlap
+        return new_x, veto
 
     def after(self, key, x, box, aux):
         return aux  # veto iff the overlap guard fired in propose
@@ -246,8 +255,19 @@ class MolDartMove(Move):
         # reference posedart.py:215-262)
         deviation = cur - poses[current]
         new_lig = poses[target] + deviation
-        new_x = x.at[lig].set(jnp.where(in_any & ~overlap, new_lig, cur))
-        return new_x, overlap
+        # two-sided veto (see SmartDartMove.propose): the destination
+        # geometry is inside the target basin by construction (deviations
+        # are preserved); veto if it is within dart_radius RMSD of any
+        # OTHER stored pose as well
+        rmsd_dest = jnp.sqrt(
+            jnp.mean(jnp.sum((poses - new_lig[None]) ** 2, -1), -1)
+        )
+        dest_overlap = (
+            jnp.sum((rmsd_dest < self.dart_radius).astype(jnp.int32)) > 1
+        )
+        veto = overlap | (in_any & dest_overlap)
+        new_x = x.at[lig].set(jnp.where(in_any & ~veto, new_lig, cur))
+        return new_x, veto
 
     def after(self, key, x, box, aux):
         return aux  # veto iff the overlap guard fired in propose

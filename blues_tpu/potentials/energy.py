@@ -70,13 +70,16 @@ def make_energy_fn(
     # treatment), so the lambda split is disabled below.
     gb_alch_atoms = None
     if system.gb is not None:
-        from .nonbonded import CUTOFF_NONPERIODIC
-
-        if nonbonded_method not in (NO_CUTOFF, CUTOFF_NONPERIODIC):
+        if nonbonded_method != NO_CUTOFF:
+            # OpenMM's GBSAOBCForce honors CutoffNonPeriodic with a
+            # 1/f - 1/rcut shifted polarization sum; this GB term is
+            # infinite-range only, so anything but NoCutoff would silently
+            # run different physics than the reference — reject loudly
             raise ValueError(
-                "implicit solvent (GB) requires a non-periodic nonbonded "
-                f"method, got {nonbonded_method!r} (OpenMM createSystem "
-                "rejects GB + PBC too)"
+                "implicit solvent (GB) is implemented for nonbonded_method "
+                f"'NoCutoff' only, got {nonbonded_method!r} (the truncated "
+                "GBSAOBC variant is not implemented; OpenMM createSystem "
+                "rejects GB + periodic methods too)"
             )
         from .gb import make_gb_energy
 

@@ -37,8 +37,12 @@ ACE nonpolar surface-area term (OpenMM's includeAceApproximation):
 
 Dense O(N^2) jnp implementation with forces from jax.grad — GB systems are
 implicit-solvent (no water box), typically <= 10k atoms, far below the pair
-kernels' crossover. The term is lambda-INDEPENDENT (openmmtools' alchemical
-factory does not modify GB forces), so it composes into the lambda-split E0.
+kernels' crossover. With an alchemical region, the polarization sum scales
+those atoms' charges by the ``lambda_electrostatics`` global (openmmtools'
+GBSAOBCForce treatment; see make_gb_energy), making the term
+lambda-DEPENDENT — potentials/energy.py therefore disables the lambda-split
+E0/Ea caching in that case, and only folds GB into E0 when no alchemical
+region exists.
 
 Verified against an independently written f64 numpy oracle
 (tools/gb_oracle.py) and finite differences (tests/test_gb.py); OpenMM

@@ -275,6 +275,11 @@ def make_nonbonded_energy(
                     and int(_grid_shape(_perp_widths(box_for_pme), cutoff).min()) >= 3
                 )
                 backend = "cells" if eligible else "dense"
+            elif backend == "pcells":
+                # the Pallas cells kernel is orthorhombic-only; its
+                # documented fallback is the (triclinic-capable) XLA cells
+                # backend
+                backend = "cells"
             elif backend not in ("dense", "cells"):
                 raise ValueError(
                     f"triclinic boxes require backend 'dense' or 'cells' "
@@ -1216,7 +1221,7 @@ def _make_pair_backend_energy(
         len(alch_atoms_np)
         and len(alch_atoms_np) <= 512
         and not exact
-        and backend in ("pallas", "tiled", "cells", "sweep")
+        and backend in ("pallas", "tiled", "cells", "pcells", "sweep")
     ):
         from .geometry import periodic_displacement as _pdisp
 
@@ -1240,14 +1245,20 @@ def _make_pair_backend_energy(
             pair_sum0 = None
         else:
             common0 = dict(common)
-            if backend == "cells":
-                # the cell kernel has no static column subset — instead zero
-                # the alchemical atoms' charge AND epsilon in the E0 feature
-                # set: every alchemical-involving pair contributes EXACTLY
-                # 0.0 (qq = 0 kills Coulomb, eps_ij = sqrt(eps_i*eps_j) = 0
-                # kills plain and softcore LJ), which is the same pair
-                # coverage as the tiled/pallas col_idx=cols_na restriction
-                from .cells import make_cell_pair_sum as _mkc0
+            if backend in ("cells", "pcells"):
+                # the cell kernels have no static column subset — instead
+                # zero the alchemical atoms' charge AND epsilon in the E0
+                # feature set: every alchemical-involving pair contributes
+                # EXACTLY 0.0 (qq = 0 kills Coulomb, eps_ij =
+                # sqrt(eps_i*eps_j) = 0 kills plain and softcore LJ), which
+                # is the same pair coverage as the tiled/pallas
+                # col_idx=cols_na restriction
+                if backend == "pcells":
+                    from .pallas.cells_kernel import (
+                        make_pallas_cells_pair_sum as _mkc0,
+                    )
+                else:
+                    from .cells import make_cell_pair_sum as _mkc0
 
                 feats0 = build_pair_features(
                     charges * (1.0 - is_alch),
@@ -1408,8 +1419,16 @@ def _make_pair_backend_energy(
         # column reaction forces accumulated in-register for the mobile
         # non-alchemical columns. Energy + all forces in one kernel pass
         # through the custom VJP (energy.py differentiates lambda_ea).
+        # col_forces requires a single row tile (<= 128 alchemical rows,
+        # sweep_kernel._row_tile); larger regions fall through to the dense
+        # NA block below, which handles any size
         ea_sweep = None
-        if backend == "sweep" and len(cols_na) and col_idx is not None:
+        if (
+            backend == "sweep"
+            and len(cols_na)
+            and col_idx is not None
+            and len(alch_atoms_np) <= 128
+        ):
             from .pallas.sweep_kernel import make_sweep_pair_sum as _mks_ea
 
             selc = np.searchsorted(np.asarray(col_idx, np.int64), cols_na)

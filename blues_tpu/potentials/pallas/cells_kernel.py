@@ -21,8 +21,10 @@ Structure:
     its 27 neighbor column blocks, whose block index comes from the
     precomputed neighbor table via scalar prefetch
     (pltpu.PrefetchScalarGridSpec index_map);
-  * per-(cell, neighbor) image shifts ride an SMEM (1, 8) row per grid
-    step: [sx, sy, sz, first_flag, 0...]; `first_flag` (j == 0) replaces
+  * per-(cell, neighbor) image shifts ride a (nc*27, 1, 8) VMEM operand,
+    one row per grid step: [sx, sy, sz, first_flag, 0...] (the middle
+    singleton makes the (1, 1, 8) block legal under Mosaic's block-shape
+    rules); `first_flag` (j == 0) replaces
     pl.program_id for the output-accumulator zero-init, so jax.vmap
     (which prepends a grid dimension) stays safe — same trick as the
     sweep kernel's F_FIRST column flag;
@@ -55,7 +57,7 @@ C_X, C_Y, C_Z, C_QSTD, C_QALCH, C_SIG, C_EPS, C_ALCH = 0, 1, 2, 3, 4, 5, 6, 7
 C_INROWS, C_GID = 8, 9
 NCHAN = 16  # padded to the f32 sublane multiple
 
-# SMEM per-(cell, nbr) row: [shift_x, shift_y, shift_z, first_flag, ...]
+# per-(cell, nbr) shift row lanes: [shift_x, shift_y, shift_z, first_flag]
 S_SX, S_SY, S_SZ, S_FIRST = 0, 1, 2, 3
 
 
@@ -188,7 +190,9 @@ def make_pallas_cells_pair_sum(
 
     table, shifts = _neighbor_table(ncells, half=False)  # (nc, 27) / (nc, 27, 3)
     n_nbr = 27
-    # pad the neighbor table target to the ghost marker cell nc_tot
+    # full wrapped table: every entry < nc_tot (the +1 ghost cell in the
+    # packed buffers is reached only via per-cell pad SLOTS, never via the
+    # neighbor table)
     nbr_np = np.asarray(table, np.int32)
     # SMEM rows: [sx, sy, sz, first, 0...] per (cell, nbr), flattened
     sh_np = np.zeros((nc_tot * n_nbr, 8), np.float32)
@@ -200,7 +204,6 @@ def make_pallas_cells_pair_sum(
         [int(ncells[1] * ncells[2]), int(ncells[2]), 1], jnp.int32
     )
     row_is_all = nr == n
-    row_idx = jnp.asarray(np.asarray(feats.row_idx[:nr], np.int64))
     ann = 1.0 if annihilate_sterics else 0.0
     ghost = n
 

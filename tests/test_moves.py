@@ -322,3 +322,64 @@ def test_mol_dart_runtime_overlap_vetoes():
     xn2, aux2 = move2.propose(key, jnp.asarray(base, jnp.float32), None, move2.init_aux())
     assert not bool(move2.after(key, xn2, None, aux2))
     assert not np.allclose(np.asarray(xn2), base)
+
+
+def test_smart_dart_destination_overlap_vetoes():
+    """The overlap veto must be two-sided (r4 review): a proposal LANDING
+    in a region covered by >= 2 darts is the reverse of one starting
+    there; accepting it while the reverse is always vetoed would break
+    detailed balance. Source inside an isolated dart, destination darts
+    drifted into mutual overlap -> veto + suppressed move."""
+    basis_xyz = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    lig = np.arange(3, 7)
+    masses = np.ones(7)
+    mk = lambda com: np.concatenate([basis_xyz, np.full((4, 3), 0.0) + com])
+    # local dart COMs: A isolated on x; B and C on y, separated by 0.35
+    # (> 2 * 0.15 -> construction-time check passes)
+    pose_a = mk([0.8, 0.0, 0.0])
+    pose_b = mk([0.0, 0.5, 0.0])
+    pose_c = mk([0.0, 0.85, 0.0])
+    move = SmartDartMove.from_coordinates(
+        lig, masses, basis_particles=[0, 1, 2],
+        coordinate_sets=[pose_a, pose_b, pose_c], dart_radius=0.15,
+    )
+    key = jax.random.PRNGKey(2)
+    # healthy frame: source at A, destinations B/C separate -> no veto
+    xn, aux = move.propose(
+        key, jnp.asarray(pose_a, jnp.float32), None, move.init_aux()
+    )
+    assert not bool(move.after(key, xn, None, aux))
+    # squash ONLY the y basis vector: B_lab and C_lab collapse into
+    # overlap (separation 0.35*0.3 = 0.105 < 2r) while A stays isolated
+    x_sq = np.array(pose_a)
+    x_sq[2] = [0.0, 0.3, 0.0]
+    darts_lab = np.asarray(move._lab_darts(jnp.asarray(x_sq, jnp.float32)))
+    assert np.linalg.norm(darts_lab[1] - darts_lab[2]) < 2 * move.dart_radius
+    assert np.linalg.norm(darts_lab[0] - darts_lab[1]) > 2 * move.dart_radius
+    x_sq[lig] = darts_lab[0]  # source COM exactly at isolated dart A
+    xn2, aux2 = move.propose(
+        key, jnp.asarray(x_sq, jnp.float32), None, move.init_aux()
+    )
+    assert bool(move.after(key, xn2, None, aux2)), "destination overlap must veto"
+    assert np.allclose(np.asarray(xn2), x_sq, atol=1e-6)
+
+
+def test_mol_dart_destination_overlap_vetoes():
+    """MolDart two-sided veto: source unambiguously in pose 0, but poses 1
+    and 2 sit within dart_radius RMSD of each other -> any jump lands in
+    their shared basin and must veto."""
+    rng = np.random.default_rng(9)
+    lig = np.arange(0, 5)
+    base = rng.normal(size=(5, 3))
+    poses = np.stack([base, base + 3.0, base + 3.0 + 0.02])
+    move = MolDartMove(lig, poses, dart_radius=0.1)
+    key = jax.random.PRNGKey(0)
+    xn, aux = move.propose(key, jnp.asarray(base, jnp.float32), None, move.init_aux())
+    assert bool(move.after(key, xn, None, aux)), "landing basin is ambiguous"
+    assert np.allclose(np.asarray(xn), base, atol=1e-6)
+    # separate destination poses: jump proceeds, no veto
+    poses2 = np.stack([base, base + 3.0, base + 6.0])
+    move2 = MolDartMove(lig, poses2, dart_radius=0.1)
+    xn2, aux2 = move2.propose(key, jnp.asarray(base, jnp.float32), None, move2.init_aux())
+    assert not bool(move2.after(key, xn2, None, aux2))
+    assert not np.allclose(np.asarray(xn2), base)

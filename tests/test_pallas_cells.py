@@ -184,3 +184,63 @@ def test_watdivaline_agreement_via_energy_fn():
     # the kernels (subtracted by the rest term), so per-atom f32 noise of
     # ~2e-4 of that scale is expected; a wrong pair/image would be 100s+
     np.testing.assert_allclose(f_p, f_c, atol=25.0)
+
+
+def test_pcells_lambda_split_reconstructs_full_energy():
+    """r4 review fix: pcells participates in the lambda-split (E0 via the
+    zero-charge/zero-eps trick, like cells); E(x, lam) == E0(x) + Ea."""
+    from blues_tpu.core.system import AlchemicalRegion, NonbondedParams, System
+    from blues_tpu.potentials.energy import make_energy_fn
+
+    x, q, sig, eps, alch, box = _synthetic_box(n=500, seed=8)
+    nb = NonbondedParams(
+        charge=q, sigma=sig, epsilon=eps,
+        exclusions=np.zeros((0, 2), np.int32),
+        exceptions_idx=np.zeros((0, 2), np.int32),
+        exceptions_chargeprod=np.zeros(0), exceptions_sigma=np.zeros(0),
+        exceptions_epsilon=np.zeros(0),
+    )
+    system = System(
+        masses=np.full(500, 12.0), nonbonded=nb, box=box,
+        alchemical=AlchemicalRegion(atoms=np.where(alch > 0)[0]),
+    )
+    efn = make_energy_fn(
+        system, nonbonded_method="PME", cutoff=0.9, nonbonded_backend="pcells"
+    )
+    assert getattr(efn, "lambda_e0_f0", None) is not None, (
+        "pcells must expose the lambda split"
+    )
+    xj = jnp.asarray(x, jnp.float32)
+    boxj = jnp.asarray(box, jnp.float32)
+    g = {"lambda_sterics": 0.6, "lambda_electrostatics": 0.3}
+    e_full = float(jax.jit(efn)(xj, boxj, g))
+    e0, _ = jax.jit(efn.lambda_e0_f0)(xj, boxj)
+    ea, _ = jax.jit(lambda a, b, c: efn.lambda_ea_fa(a, b, c))(xj, boxj, g)
+    assert np.isfinite(e_full)
+    assert e_full == pytest.approx(
+        float(e0) + float(ea), abs=2e-4 * abs(e_full) + 0.5
+    )
+
+
+def test_pcells_triclinic_falls_back_to_cells():
+    """r4 review fix: a triclinic box with backend='pcells' must degrade to
+    the (triclinic-capable) XLA cells backend, as documented — not raise."""
+    from blues_tpu.core.system import NonbondedParams, System
+    from blues_tpu.potentials.energy import make_energy_fn
+
+    x, q, sig, eps, alch, box = _synthetic_box(n=500, L=3.0, seed=9)
+    tri = np.array([[3.0, 0.0, 0.0], [0.3, 3.0, 0.0], [0.2, 0.1, 3.0]])
+    nb = NonbondedParams(
+        charge=q, sigma=sig, epsilon=eps,
+        exclusions=np.zeros((0, 2), np.int32),
+        exceptions_idx=np.zeros((0, 2), np.int32),
+        exceptions_chargeprod=np.zeros(0), exceptions_sigma=np.zeros(0),
+        exceptions_epsilon=np.zeros(0),
+    )
+    system = System(masses=np.full(500, 12.0), nonbonded=nb, box=tri)
+    efn = make_energy_fn(
+        system, nonbonded_method="PME", cutoff=0.9, nonbonded_backend="pcells"
+    )
+    e = float(jax.jit(efn)(jnp.asarray(x, jnp.float32),
+                           jnp.asarray(tri, jnp.float32), None))
+    assert np.isfinite(e)

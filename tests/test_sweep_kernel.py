@@ -148,3 +148,25 @@ def test_sweep_cull_guard_poisons(frozen_system):
     e, f = ffn(jnp.asarray(xbad), box, None)
     assert not np.isfinite(float(e))
     assert not np.all(np.isfinite(np.asarray(f)))
+
+
+def test_large_alchemical_region_falls_back_to_dense_ea(frozen_system):
+    """r4 review fix: alchemical regions of 129-512 atoms previously
+    crashed the sweep build (the EA sweep requires a single 128-row tile
+    for column reaction forces). They must now build with the dense NA
+    block serving Ea, and the split must still reconstruct the full
+    energy: E(x, lam) == E0(x) + Ea(x, lam)."""
+    frozen, x = frozen_system
+    big = frozen.replace(
+        alchemical=AlchemicalRegion(atoms=np.arange(150, dtype=np.int64))
+    )
+    efn = _build(big, "sweep")  # crashed before the <=128 gate
+    assert efn.lambda_e0_f0 is not None and efn.lambda_ea_fa is not None
+    xj = jnp.asarray(x, jnp.float32)
+    box = jnp.asarray(big.box, jnp.float32)
+    g = {"lambda_sterics": 0.7, "lambda_electrostatics": 0.4}
+    e_full = float(jax.jit(efn)(xj, box, g))
+    e0, _ = jax.jit(efn.lambda_e0_f0)(xj, box)
+    ea, _ = jax.jit(lambda a, b, c: efn.lambda_ea_fa(a, b, c))(xj, box, g)
+    assert np.isfinite(e_full)
+    assert e_full == pytest.approx(float(e0) + float(ea), abs=2e-3 * abs(e_full) + 1.0)
