@@ -17,13 +17,27 @@ import pytest
 from blues_tpu.config import Settings
 
 _EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
-EXAMPLE_YAMLS = sorted(glob.glob(os.path.join(_EXAMPLES_DIR, "*.yml")))
+EXAMPLE_YAMLS = sorted(
+    glob.glob(os.path.join(_EXAMPLES_DIR, "*.yml"))
+    + glob.glob(os.path.join(_EXAMPLES_DIR, "*.yaml"))
+)
 
 
 def test_examples_present():
     # the repo ships at least rotmove/water/sidechain (reference parity)
     names = {os.path.basename(p) for p in EXAMPLE_YAMLS}
     assert {"rotmove.yml", "water.yml", "sidechain.yml"} <= names
+
+
+def test_no_unvalidated_yaml_like_files():
+    # every YAML-looking file in examples/ must be in the validated set
+    # (the reference itself ships both .yml and .yaml examples)
+    all_yamlish = {
+        p
+        for p in glob.glob(os.path.join(_EXAMPLES_DIR, "*"))
+        if os.path.splitext(p)[1].lower() in (".yml", ".yaml")
+    }
+    assert all_yamlish == set(EXAMPLE_YAMLS)
 
 
 @pytest.mark.parametrize(
