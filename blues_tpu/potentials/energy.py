@@ -37,6 +37,7 @@ def make_energy_fn(
     switch_distance: float = None,
     frozen_cull_skin: float = 0.45,
     frozen_cull_cage_margin: float = 1.0,
+    sweep_row_group: Optional[int] = None,
 ) -> Callable:
     """Build energy_fn(positions, box=None, globals_=None) -> scalar kJ/mol."""
     terms = []
@@ -111,6 +112,7 @@ def make_energy_fn(
             switch_distance=switch_distance,
             frozen_cull_skin=frozen_cull_skin,
             frozen_cull_cage_margin=frozen_cull_cage_margin,
+            sweep_row_group=sweep_row_group,
             # the cull bond graph needs CONSTRAINED bonds too (H bonds are
             # constraints, not harmonic bonds — without them every H is a
             # spurious singleton "free fragment")

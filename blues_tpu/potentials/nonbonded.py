@@ -225,6 +225,7 @@ def make_nonbonded_energy(
     frozen_cull_cage_margin: float = 1.0,
     bonds_for_cull=None,
     recip_override=None,
+    sweep_row_group: Optional[int] = None,
 ):
     """Build fn(positions, box, globals) -> energy for the full nonbonded term.
 
@@ -373,6 +374,7 @@ def make_nonbonded_energy(
             frozen_cull_cage_margin=frozen_cull_cage_margin,
             bonds_for_cull=bonds_for_cull,
             recip_override=recip_override,
+            sweep_row_group=sweep_row_group,
         )
     if switch_distance is not None and not (0.0 < switch_distance < cutoff):
         raise ValueError(
@@ -608,6 +610,7 @@ def _make_pair_backend_energy(
     frozen_cull_cage_margin: float = 1.0,
     bonds_for_cull=None,
     recip_override=None,
+    sweep_row_group: Optional[int] = None,
 ):
     """Large-system nonbonded energy: tiled/pallas pair sum + corrections.
 
@@ -944,8 +947,30 @@ def _make_pair_backend_energy(
         # no static column subset the row-compacted pallas kernel serves
         backend = "pallas"
     if backend == "sweep":
-        from .pallas.sweep_kernel import make_sweep_pair_sum
+        from .pallas.sweep_kernel import build_row_groups, make_sweep_pair_sum
 
+        # per-row-group column culling: each Morton group of rows only
+        # pays pair slots for columns inside ITS rows' permanent reach
+        # balls (~2x fewer slots at the production flagship,
+        # tools/probe_group_cull.py); bounds are the culling guard's own
+        _box_diag = (
+            np.diag(np.asarray(box_for_pme, np.float64))
+            if (periodic and box_for_pme is not None)
+            else None
+        )
+        groups_main = None
+        if sweep_row_group and cull_bounds is not None:
+            groups_main = build_row_groups(
+                rows=cull_bounds[0],
+                centers=cull_bounds[1],
+                radii=cull_bounds[2],
+                cols=col_idx,
+                ref_positions=frozen_ref_positions,
+                box_lengths=_box_diag,
+                cutoff=cutoff,
+                group_size=sweep_row_group,
+                excl_mask=excl_mask_np,
+            )
         pair_sum = make_sweep_pair_sum(
             row_gid=np.asarray(active_rows, np.int64),
             col_gid=np.asarray(col_idx, np.int64),
@@ -956,6 +981,7 @@ def _make_pair_backend_energy(
             col_mobile_sel=col_msel,
             col_mobile_gid=col_mgid,
             skip_min_image=noimg is not None,
+            groups=groups_main,
             **common,
         )
     elif backend == "pallas":
@@ -1308,7 +1334,10 @@ def _make_pair_backend_energy(
                         excl_mask0[r0pos[j_[m2]], c0pos[i_[m2]]] = True
                         pref0_live = m1 | m2
                 if backend == "sweep":
-                    from .pallas.sweep_kernel import make_sweep_pair_sum as _mks
+                    from .pallas.sweep_kernel import (
+                        build_row_groups as _brg,
+                        make_sweep_pair_sum as _mks,
+                    )
 
                     in_rows0_np = np.zeros(n)
                     in_rows0_np[rows0] = 1.0
@@ -1320,6 +1349,28 @@ def _make_pair_backend_energy(
                         alch=np.zeros(n),
                         in_rows=in_rows0_np,
                     )
+                    groups0 = None
+                    if sweep_row_group and cull_bounds is not None:
+                        # bounds of the E0 row subset (rows0 keep their
+                        # order inside cull_bounds' row array)
+                        _bpos = np.full(n, -1, np.int64)
+                        _bpos[cull_bounds[0]] = np.arange(len(cull_bounds[0]))
+                        _sel0 = _bpos[rows0]
+                        groups0 = _brg(
+                            rows=rows0,
+                            centers=cull_bounds[1][_sel0],
+                            radii=cull_bounds[2][_sel0],
+                            cols=cols_na,
+                            ref_positions=frozen_ref_positions,
+                            box_lengths=(
+                                np.diag(np.asarray(box_for_pme, np.float64))
+                                if (periodic and box_for_pme is not None)
+                                else None
+                            ),
+                            cutoff=cutoff,
+                            group_size=sweep_row_group,
+                            excl_mask=excl_mask0,
+                        )
                     pair_sum0 = _mks(
                         row_gid=rows0,
                         col_gid=cols_na,
@@ -1330,6 +1381,7 @@ def _make_pair_backend_energy(
                         col_mobile_sel=col_msel0,
                         col_mobile_gid=col_mgid0,
                         skip_min_image=noimg is not None,
+                        groups=groups0,
                         **common0,
                     )
                 elif backend == "pallas":
@@ -1709,6 +1761,8 @@ def _make_pair_backend_energy(
     energy.cull_info = (len(col_idx), n) if col_idx is not None else None
     #: (row_atom_ids, ball_centers, ball_radii) of the culling guard
     energy.cull_bounds = cull_bounds if col_idx is not None else None
+    #: the culled column atom ids (None when culling didn't engage)
+    energy.cull_cols = col_idx if col_idx is not None else None
     #: True when the kernel skips per-pair minimum-image wraps under the
     #: _no_image_geometry extent proof (tiled's matmul-force fast path /
     #: the sweep kernel's raw-displacement path)

@@ -73,6 +73,72 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _morton_order(p):
+    """Order 3-D points by interleaved-bit (Morton) code — spatially
+    adjacent points land in the same chunk."""
+    p = np.asarray(p, np.float64)
+    q = ((p - p.min(0)) / max(float(np.ptp(p)), 1e-9) * 1023).astype(np.int64)
+    code = np.zeros(len(p), np.int64)
+    for b in range(10):
+        for d in range(3):
+            code |= ((q[:, d] >> b) & 1) << (3 * b + d)
+    return np.argsort(code, kind="stable")
+
+
+def build_row_groups(
+    *,
+    rows,
+    centers,
+    radii,
+    cols,
+    ref_positions,
+    box_lengths,
+    cutoff,
+    group_size,
+    excl_mask=None,
+):
+    """Partition rows into Morton-ordered groups of ``group_size`` and give
+    each group the columns inside ITS rows' permanent reach balls.
+
+    Soundness is inherited from the culling guard's own bounds: row i stays
+    inside ball(center_i, r_i) forever (poisoned otherwise), a mobile
+    column j inside ball(center_j, r_j), a frozen column at its reference
+    position — so any runtime pair within ``cutoff`` satisfies
+    |c_i - c_j|_minimage <= r_i + r_j + cutoff, which is exactly the
+    (symmetric) inclusion test. Build-time-masked exclusion pairs are
+    force-included so the no-min-image rest-term bookkeeping sees the same
+    masked pair set as the ungrouped layout.
+
+    Returns a list of (row_local_idx, col_local_idx) for
+    make_sweep_pair_sum(groups=...).
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    centers = np.asarray(centers, np.float64)
+    radii = np.asarray(radii, np.float64)
+    x0 = np.asarray(ref_positions, np.float64)
+    rpos = np.full(x0.shape[0], -1, np.int64)
+    rpos[rows] = np.arange(len(rows))
+    k = rpos[cols]
+    ccent = np.where((k >= 0)[:, None], centers[np.maximum(k, 0)], x0[cols])
+    crad = np.where(k >= 0, radii[np.maximum(k, 0)], 0.0)
+    em = None if excl_mask is None else np.asarray(excl_mask, bool)
+    order = _morton_order(centers)
+    groups = []
+    for lo in range(0, len(order), int(group_size)):
+        rsel = order[lo : lo + int(group_size)]
+        d = centers[rsel][:, None, :] - ccent[None, :, :]
+        if box_lengths is not None:
+            L = np.asarray(box_lengths, np.float64)
+            d -= L * np.round(d / L)
+        reach = (d * d).sum(-1) <= (radii[rsel][:, None] + crad[None, :] + cutoff) ** 2
+        csel = reach.any(0)
+        if em is not None:
+            csel |= em[rsel].any(0)
+        groups.append((rsel, np.where(csel)[0]))
+    return groups
+
+
 def _row_tile(nr: int) -> int:
     """Sublane row-tile: small row counts (the alchemical block) ride the
     sublane dimension instead of padding to 128 lanes."""
@@ -112,85 +178,96 @@ def _make_kernel(
             params_ref, xr_ref, xc_ref, fr_ref, fc_ref = refs[:5]
             out_refs = refs[5:]
         out_ref = out_refs[0]
-        # first-column-tile flag from the feature data (vmap/Mosaic-safe)
+        # first-column-tile flag from the feature data (vmap/Mosaic-safe);
+        # baked on every group's tile 0 so the accumulator is always
+        # initialized, even for a (degenerate) group with no real columns
         is_first = fc_ref[F_FIRST, 0] > 0
-
-        lam_s = params_ref[0, 0]
-        f_na = params_ref[0, 1]
-        f_aa = params_ref[0, 2]
-
-        dxs = []
-        r2 = jnp.zeros((tr, tc), jnp.float32)
-        for d in range(3):
-            xi = xr_ref[d, :][:, None]
-            xj = xc_ref[d, :][None, :]
-            dx = xi - xj
-            if periodic and not skip_min_image:
-                L = params_ref[0, 3 + d]
-                dx = dx - L * jnp.round(dx / L)
-            dxs.append(dx)
-            r2 = r2 + dx * dx
-
-        gid_i = fr_ref[R_GID, :][:, None]
-        cj = fc_ref[F_CGID, :][None, :]
-        valid = (gid_i != cj) & (fr_ref[R_VALID, :][:, None] > 0) & (cj >= 0)
-        if has_excl:
-            valid = valid & (excl_ref[:, :] == 0)
-        if use_cutoff:
-            valid = valid & (r2 < cutoff * cutoff)
-        r2 = jnp.maximum(r2, 1e-6)
-
-        qs_i = fr_ref[F_QSTD, :][:, None]
-        qs_j = fc_ref[F_QSTD, :][None, :]
-        qa_i = fr_ref[F_QALCH, :][:, None]
-        qa_j = fc_ref[F_QALCH, :][None, :]
-        sij = 0.5 * (fr_ref[F_SIG, :][:, None] + fc_ref[F_SIG, :][None, :])
-        eij = jnp.sqrt(fr_ref[F_EPS, :][:, None] * fc_ref[F_EPS, :][None, :])
-        ai = fr_ref[F_ALCH, :][:, None]
-        aj = fc_ref[F_ALCH, :][None, :]
-        aa = ai * aj
-        na = ai + aj - 2.0 * aa
-        scale_ster = na + ann * aa
-
-        e, g = pair_energy_force(
-            r2,
-            sij,
-            eij,
-            qs_i * qs_j,
-            qs_i * qa_j + qa_i * qs_j,
-            qa_i * qa_j,
-            scale_ster,
-            lam_sterics=lam_s,
-            f_na=f_na,
-            f_aa=f_aa,
-            method=method,
-            alpha_ewald=alpha_ewald,
-            k_rf=k_rf,
-            c_rf=c_rf,
-            softcore_alpha=softcore_alpha,
-            switch_distance=switch_distance,
-            cutoff=cutoff,
-            alch_coulomb=alch_coulomb,
-        )
-        e = jnp.where(valid, e, 0.0)
-        g = jnp.where(valid, g, 0.0)
-        # row-row pairs are visited from both sides -> energy weight 0.5
-        wcol = 1.0 - 0.5 * fr_ref[R_INROWS, :][:, None] * fc_ref[F_INROWS, :][None, :]
 
         @pl.when(is_first)
         def _():
             out_ref[:, :] = jnp.zeros((8, tr), jnp.float32)
 
-        for d in range(3):
-            out_ref[d, :] += -jnp.sum(g * dxs[d], axis=1)
-        out_ref[3, :] += jnp.sum(wcol * e, axis=1)
-
         if col_forces:
-            outc_ref = out_refs[1]
-            outc_ref[:, :] = jnp.zeros((8, tc), jnp.float32)
+            out_refs[1][:, :] = jnp.zeros((8, tc), jnp.float32)
+
+        # grouped layouts pad every group's column storage to the max group
+        # tile count; a tile whose FIRST column id is -1 is pure padding
+        # (real columns pack from the front) — skip its pair math entirely
+        has_cols = fc_ref[F_CGID, 0] >= 0
+
+        @pl.when(has_cols)
+        def _():
+            lam_s = params_ref[0, 0]
+            f_na = params_ref[0, 1]
+            f_aa = params_ref[0, 2]
+
+            dxs = []
+            r2 = jnp.zeros((tr, tc), jnp.float32)
             for d in range(3):
-                # reaction force on the column atom: F_j = +g * (x_i - x_j)
-                outc_ref[d, :] = jnp.sum(g * dxs[d], axis=0)
+                xi = xr_ref[d, :][:, None]
+                xj = xc_ref[d, :][None, :]
+                dx = xi - xj
+                if periodic and not skip_min_image:
+                    L = params_ref[0, 3 + d]
+                    dx = dx - L * jnp.round(dx / L)
+                dxs.append(dx)
+                r2 = r2 + dx * dx
+
+            gid_i = fr_ref[R_GID, :][:, None]
+            cj = fc_ref[F_CGID, :][None, :]
+            valid = (gid_i != cj) & (fr_ref[R_VALID, :][:, None] > 0) & (cj >= 0)
+            if has_excl:
+                valid = valid & (excl_ref[:, :] == 0)
+            if use_cutoff:
+                valid = valid & (r2 < cutoff * cutoff)
+            r2 = jnp.maximum(r2, 1e-6)
+
+            qs_i = fr_ref[F_QSTD, :][:, None]
+            qs_j = fc_ref[F_QSTD, :][None, :]
+            qa_i = fr_ref[F_QALCH, :][:, None]
+            qa_j = fc_ref[F_QALCH, :][None, :]
+            sij = 0.5 * (fr_ref[F_SIG, :][:, None] + fc_ref[F_SIG, :][None, :])
+            eij = jnp.sqrt(fr_ref[F_EPS, :][:, None] * fc_ref[F_EPS, :][None, :])
+            ai = fr_ref[F_ALCH, :][:, None]
+            aj = fc_ref[F_ALCH, :][None, :]
+            aa = ai * aj
+            na = ai + aj - 2.0 * aa
+            scale_ster = na + ann * aa
+
+            e, g = pair_energy_force(
+                r2,
+                sij,
+                eij,
+                qs_i * qs_j,
+                qs_i * qa_j + qa_i * qs_j,
+                qa_i * qa_j,
+                scale_ster,
+                lam_sterics=lam_s,
+                f_na=f_na,
+                f_aa=f_aa,
+                method=method,
+                alpha_ewald=alpha_ewald,
+                k_rf=k_rf,
+                c_rf=c_rf,
+                softcore_alpha=softcore_alpha,
+                switch_distance=switch_distance,
+                cutoff=cutoff,
+                alch_coulomb=alch_coulomb,
+            )
+            e = jnp.where(valid, e, 0.0)
+            g = jnp.where(valid, g, 0.0)
+            # row-row pairs are visited from both sides -> energy weight 0.5
+            wcol = 1.0 - 0.5 * fr_ref[R_INROWS, :][:, None] * fc_ref[F_INROWS, :][None, :]
+
+            for d in range(3):
+                out_ref[d, :] += -jnp.sum(g * dxs[d], axis=1)
+            out_ref[3, :] += jnp.sum(wcol * e, axis=1)
+
+            if col_forces:
+                outc_ref = out_refs[1]
+                for d in range(3):
+                    # reaction force on the column atom: F_j = +g * (x_i - x_j)
+                    outc_ref[d, :] = jnp.sum(g * dxs[d], axis=0)
 
     return kernel
 
@@ -220,6 +297,7 @@ def make_sweep_pair_sum(
     col_force_keep=None,  # col positions whose reaction forces scatter back
     col_tile: int = DEFAULT_COL_TILE,
     interpret: bool = None,
+    groups=None,  # list of (row_local_idx, col_local_idx) — grouped layout
 ):
     """pair_sum(x, box, lam_s, f_na, f_aa) -> (E, F) over the (row_gid x
     col_gid) pair block, with .energy exposing a custom-VJP scalar whose
@@ -230,7 +308,20 @@ def make_sweep_pair_sum(
     mobile non-alchemical columns are not rows). Requires a single row
     tile. Frozen columns' forces are computed in-register but discarded —
     frozen atoms never move (same semantics as the stop_gradient in the
-    dense NA block, potentials/nonbonded.py lambda_ea)."""
+    dense NA block, potentials/nonbonded.py lambda_ea).
+
+    groups: per-row-GROUP column culling (build_row_groups). Each entry is
+    (row_local_idx, col_local_idx) into row_gid/col_gid; the groups must
+    partition the rows. Grid becomes (n_groups, max_group_col_tiles) with
+    each group's column storage laid out contiguously — a group only pays
+    pair slots for columns inside ITS rows' permanent reach balls instead
+    of the union over all rows (~2x fewer slots at the production
+    flagship, tools/probe_group_cull.py). Groups with fewer columns than
+    the max are padded with marker tiles the kernel skips (F_CGID < 0).
+    The caller must guarantee soundness: every runtime-reachable (row,
+    col) pair AND every build-time-masked exclusion pair of a row must
+    appear in that row's group (build_row_groups enforces both from the
+    same permanent-ball bounds the culling guard poisons on)."""
     global pl, pltpu
     from jax.experimental import pallas as pl  # noqa: F401
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
@@ -238,12 +329,34 @@ def make_sweep_pair_sum(
     rows_np = np.asarray(row_gid, np.int64)
     cols_np = np.asarray(col_gid, np.int64)
     nr, nc = len(rows_np), len(cols_np)
-    tr = _row_tile(nr)
     tc = int(col_tile)
-    nr_pad = _round_up(nr, tr)
-    ncpad = _round_up(nc, tc)
-    n_row_tiles = nr_pad // tr
-    n_col_tiles = ncpad // tc
+    grouped = groups is not None
+    if grouped and col_forces:
+        raise ValueError("groups and col_forces are mutually exclusive")
+    em_full = None
+    if excl_mask is not None:
+        em_full = np.asarray(excl_mask, bool)
+        if em_full.shape != (nr, nc):
+            raise ValueError(f"excl_mask {em_full.shape} != ({nr}, {nc})")
+
+    if grouped:
+        seen = np.concatenate([np.asarray(g[0], np.int64) for g in groups])
+        if len(seen) != nr or len(np.unique(seen)) != nr:
+            raise ValueError("groups must partition the rows exactly once")
+        tr = _row_tile(max(len(g[0]) for g in groups))
+        n_groups = len(groups)
+        nr_pad = n_groups * tr
+        ncg_pad = max(_round_up(max(len(g[1]), 1), tc) for g in groups)
+        n_col_tiles = ncg_pad // tc
+        n_row_tiles = n_groups
+        S = n_groups * ncg_pad
+    else:
+        tr = _row_tile(nr)
+        nr_pad = _round_up(nr, tr)
+        ncg_pad = _round_up(nc, tc)
+        n_row_tiles = nr_pad // tr
+        n_col_tiles = ncg_pad // tc
+        S = ncg_pad
     if col_forces and n_row_tiles != 1:
         raise ValueError(
             "col_forces requires a single row tile (the column-force output "
@@ -252,44 +365,89 @@ def make_sweep_pair_sum(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # static feature arrays (transposed (8, N) layout, atoms on lanes)
+    # static feature arrays (transposed (8, N) layout, atoms on lanes).
+    # Row slot s -> slot_row[s] (local row index, -1 padding); column
+    # storage position p -> occ_col[p] (local col index, -1 padding).
+    slot_row = np.full(nr_pad, -1, np.int64)
+    occ_col = np.full(S, -1, np.int64)
+    first_flag = np.zeros(S, np.float32)
+    if grouped:
+        for g, (rsel, csel) in enumerate(groups):
+            rsel = np.asarray(rsel, np.int64)
+            csel = np.asarray(csel, np.int64)
+            slot_row[g * tr : g * tr + len(rsel)] = rsel
+            occ_col[g * ncg_pad : g * ncg_pad + len(csel)] = csel
+            first_flag[g * ncg_pad : g * ncg_pad + tc] = 1.0
+    else:
+        slot_row[:nr] = np.arange(nr)
+        occ_col[:nc] = np.arange(nc)
+        first_flag[:tc] = 1.0
+
+    sl_live = slot_row >= 0
+    oc_live = occ_col >= 0
+    sl_r = np.where(sl_live, slot_row, 0)
+    oc_c = np.where(oc_live, occ_col, 0)
     feat_rows = np.zeros((8, nr_pad), np.float32)
-    feat_cols = np.zeros((8, ncpad), np.float32)
+    feat_cols = np.zeros((8, S), np.float32)
     for k, arr in (
         (F_QSTD, "q_std"), (F_QALCH, "q_alch"), (F_SIG, "sigma"),
         (F_EPS, "epsilon"), (F_ALCH, "alch"), (F_INROWS, "in_rows"),
     ):
         a = np.asarray(per_atom[arr], np.float64)
-        feat_rows[k, :nr] = a[rows_np]
-        feat_cols[k, :nc] = a[cols_np]
-    feat_rows[R_GID, :nr] = rows_np.astype(np.float32)
-    feat_rows[R_INROWS, :nr] = np.asarray(per_atom["in_rows"], np.float64)[rows_np]
-    feat_rows[R_VALID, :nr] = 1.0
-    feat_cols[F_CGID, :nc] = cols_np.astype(np.float32)
-    feat_cols[F_CGID, nc:] = -1.0
-    feat_cols[F_FIRST, :tc] = 1.0  # first-tile init flag (see slot doc)
+        feat_rows[k] = np.where(sl_live, a[rows_np[sl_r]], 0.0)
+        feat_cols[k] = np.where(oc_live, a[cols_np[oc_c]], 0.0)
+    feat_rows[R_GID] = np.where(sl_live, rows_np[sl_r].astype(np.float64), -1.0)
+    feat_rows[R_INROWS] = np.where(
+        sl_live, np.asarray(per_atom["in_rows"], np.float64)[rows_np[sl_r]], 0.0
+    )
+    feat_rows[R_VALID] = sl_live.astype(np.float32)
+    feat_cols[F_CGID] = np.where(oc_live, cols_np[oc_c].astype(np.float64), -1.0)
+    feat_cols[F_FIRST] = first_flag  # per-group tile-0 init flag (see doc)
 
     excl_f32 = None
-    if excl_mask is not None:
-        em = np.asarray(excl_mask, bool)
-        if em.shape != (nr, nc):
-            raise ValueError(f"excl_mask {em.shape} != ({nr}, {nc})")
-        excl_f32 = np.zeros((nr_pad, ncpad), np.float32)
-        excl_f32[:nr, :nc] = em
+    if em_full is not None:
+        if grouped:
+            # per-group block layout: storage position p holds the mask of
+            # (its group's row slots) x (the column at p)
+            excl_f32 = np.zeros((tr, S), np.float32)
+            for g, (rsel, csel) in enumerate(groups):
+                rsel = np.asarray(rsel, np.int64)
+                csel = np.asarray(csel, np.int64)
+                blk = em_full[np.ix_(rsel, csel)]
+                excl_f32[: len(rsel), g * ncg_pad : g * ncg_pad + len(csel)] = blk
+                dropped = em_full[rsel].sum() - blk.sum()
+                if dropped:
+                    raise ValueError(
+                        f"group {g} drops {dropped} masked exclusion pairs — "
+                        "its column set must include every excluded partner "
+                        "(build_row_groups force-includes them)"
+                    )
+        else:
+            excl_f32 = np.zeros((nr_pad, S), np.float32)
+            excl_f32[:nr, :nc] = em_full
 
     col_const_np = (
         None if col_const_positions is None else np.asarray(col_const_positions, np.float64)
     )
-    mob_sel_j = (
-        jnp.asarray(np.asarray(col_mobile_sel, np.int64))
-        if col_mobile_sel is not None and len(col_mobile_sel)
-        else None
-    )
-    mob_gid_j = (
-        jnp.asarray(np.asarray(col_mobile_gid, np.int64))
-        if mob_sel_j is not None
-        else None
-    )
+    occ_const_np = None
+    if col_const_np is not None:
+        occ_const_np = np.zeros((S, 3))
+        occ_const_np[oc_live] = col_const_np[occ_col[oc_live]]
+    mob_sel_j = mob_gid_j = None
+    if col_mobile_sel is not None and len(col_mobile_sel):
+        # occurrences (storage positions) of each mobile column
+        mob_set = np.zeros(nc, bool)
+        mob_set[np.asarray(col_mobile_sel, np.int64)] = True
+        gid_of = np.full(nc, -1, np.int64)
+        gid_of[np.asarray(col_mobile_sel, np.int64)] = np.asarray(
+            col_mobile_gid, np.int64
+        )
+        occ_mob = np.where(oc_live & mob_set[oc_c])[0]
+        if len(occ_mob):
+            mob_sel_j = jnp.asarray(occ_mob)
+            mob_gid_j = jnp.asarray(gid_of[occ_col[occ_mob]])
+    occ_gid_j = jnp.asarray(np.where(oc_live, cols_np[oc_c], 0))
+    occ_live_j = jnp.asarray(oc_live[None, :].astype(np.float32))
     keep_sel_j = keep_gid_j = None
     if col_forces:
         keep = (
@@ -309,53 +467,68 @@ def make_sweep_pair_sum(
         has_excl=excl_f32 is not None, col_forces=col_forces,
     )
 
+    if grouped:
+        col_imap = lambda i, j, _t=n_col_tiles: (0, i * _t + j)  # noqa: E731
+        excl_imap = col_imap
+    else:
+        col_imap = lambda i, j: (0, j)  # noqa: E731
+        excl_imap = lambda i, j: (i, j)  # noqa: E731
     in_specs = [
         pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tc), col_imap, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tc), col_imap, memory_space=pltpu.VMEM),
     ]
     if excl_f32 is not None:
         in_specs.append(
-            pl.BlockSpec((tr, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tr, tc), excl_imap, memory_space=pltpu.VMEM)
         )
     out_specs = pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((8, nr_pad), jnp.float32)
     if col_forces:
         out_specs = (
             out_specs,
-            pl.BlockSpec((8, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tc), col_imap, memory_space=pltpu.VMEM),
         )
-        out_shape = (out_shape, jax.ShapeDtypeStruct((8, ncpad), jnp.float32))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((8, S), jnp.float32))
 
     grid_spec = pl.GridSpec(
         grid=(n_row_tiles, n_col_tiles), in_specs=in_specs, out_specs=out_specs
     )
+    # effective compute slots: padding tiles (first column id < 0) branch
+    # out of the pair math, so only real tiles count
+    if grouped:
+        n_real_tiles = sum(max(1, -(-len(g[1]) // tc)) for g in groups)
+    else:
+        n_real_tiles = n_row_tiles * n_col_tiles
+    compute_slots = n_real_tiles * tr * tc
     flops_per_pair = 80
     cost = pl.CostEstimate(
-        flops=flops_per_pair * nr_pad * ncpad,
-        bytes_accessed=4 * (8 * ncpad) * (2 * n_row_tiles + 1) + 4 * 8 * nr_pad * 3,
-        transcendentals=3 * nr_pad * ncpad,
+        flops=flops_per_pair * compute_slots,
+        bytes_accessed=4 * (8 * S) * 3 + 4 * 8 * nr_pad * 3,
+        transcendentals=3 * compute_slots,
     )
 
     feat_rows_j = jnp.asarray(feat_rows)
     feat_cols_j = jnp.asarray(feat_cols)
     excl_j = None if excl_f32 is None else jnp.asarray(excl_f32)
-    rows_j = jnp.asarray(rows_np)
-    row_live = jnp.asarray((np.arange(nr_pad) < nr)[:, None].astype(np.float32))
-    cols_runtime_j = jnp.asarray(cols_np)  # gather source when no const cols
+    slot_gid_j = jnp.asarray(np.where(sl_live, rows_np[sl_r], 0))
+    row_live = jnp.asarray(sl_live[:, None].astype(np.float32))
+    occ_const_j = (
+        None if occ_const_np is None else jnp.asarray(occ_const_np, jnp.float32)
+    )
 
     def _pass(x, box, lam_s, f_na, f_aa):
         xf = x.astype(jnp.float32)
-        if col_const_np is not None:
-            xc = jnp.asarray(col_const_np, jnp.float32)
+        if occ_const_j is not None:
+            xc = occ_const_j
             if mob_sel_j is not None:
                 xc = xc.at[mob_sel_j].set(xf[mob_gid_j])
         else:
-            xc = xf[cols_runtime_j]
-        xct = jnp.zeros((8, ncpad), jnp.float32).at[0:3, :nc].set(xc.T)
-        xrt = jnp.zeros((8, nr_pad), jnp.float32).at[0:3, :nr].set(xf[rows_j].T)
+            xc = xf[occ_gid_j] * occ_live_j.T
+        xct = jnp.zeros((8, S), jnp.float32).at[0:3, :].set(xc.T)
+        xrt = jnp.zeros((8, nr_pad), jnp.float32).at[0:3, :].set(xf[slot_gid_j].T)
         blen = (
             jnp.diagonal(box).astype(jnp.float32)
             if box is not None
@@ -382,8 +555,8 @@ def make_sweep_pair_sum(
         f_rows = out[0:3].T * row_live  # (nr_pad, 3)
         f = (
             jnp.zeros((n_atoms, 3), jnp.float32)
-            .at[rows_j]
-            .add(f_rows[:nr])
+            .at[slot_gid_j]
+            .add(f_rows)
         )
         if col_forces:
             fc = outc[0:3].T  # (ncpad, 3)
@@ -420,5 +593,7 @@ def make_sweep_pair_sum(
         nr=nr, nc=nc, tr=tr, tc=tc, n_row_tiles=n_row_tiles,
         n_col_tiles=n_col_tiles, skip_min_image=skip_min_image,
         masked_pairs=int(excl_f32.sum()) if excl_f32 is not None else 0,
+        n_groups=len(groups) if grouped else None,
+        compute_slots=compute_slots,
     )
     return pair_sum

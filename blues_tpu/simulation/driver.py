@@ -76,6 +76,11 @@ class SimulationConfig:
     #: frozen-system pair-kernel column culling skin (nm); None disables.
     #: See potentials.nonbonded.make_nonbonded_energy(frozen_cull_skin=...).
     frozen_cull_skin: Optional[float] = 0.45
+    #: per-row-GROUP column culling for the sweep backend: Morton groups of
+    #: this many mobile rows each get their own culled column set (~2x
+    #: fewer pair slots at the production flagship). None/0 = one shared
+    #: column set (see pallas/sweep_kernel.build_row_groups).
+    sweep_row_group: Optional[int] = None
     #: MD steps between neighbor-list rebuilds (verlet backend only). The
     #: staleness guard poisons to NaN if the skin is outrun, so a too-long
     #: interval rolls the segment back instead of sampling wrong physics.
@@ -176,6 +181,7 @@ class BLUESSimulation:
             use_pallas=config.use_pallas,
             nonbonded_backend=config.nonbonded_backend,
             frozen_cull_skin=cull_skin,
+            sweep_row_group=config.sweep_row_group,
         )
         self.energy_md = make_energy_fn(md_system, **common)
         if system.alchemical is not None or system.custom_pairs:

@@ -170,3 +170,129 @@ def test_large_alchemical_region_falls_back_to_dense_ea(frozen_system):
     ea, _ = jax.jit(lambda a, b, c: efn.lambda_ea_fa(a, b, c))(xj, box, g)
     assert np.isfinite(e_full)
     assert e_full == pytest.approx(float(e0) + float(ea), abs=2e-3 * abs(e_full) + 1.0)
+
+
+def _build_grouped(frozen, group):
+    return make_energy_fn(
+        frozen,
+        nonbonded_method="PME",
+        cutoff=0.65,
+        ewald_tolerance=5e-4,
+        nonbonded_backend="sweep",
+        frozen_cull_skin=0.25,
+        sweep_row_group=group,
+    )
+
+
+def test_grouped_sweep_matches_ungrouped(frozen_system):
+    """Per-row-group column culling (sweep_row_group) computes a strict
+    SUBSET of pair slots — every runtime-reachable pair must still be
+    covered, so energies/forces must match the shared-column layout at f32
+    summation-order noise, at every lambda and for the split pieces."""
+    frozen, x = frozen_system
+    efn_u = _build(frozen, "sweep")
+    x32 = jnp.asarray(np.asarray(x), jnp.float32)
+    box = jnp.asarray(np.asarray(frozen.box), jnp.float32)
+    for group in (8, 16):
+        efn_g = _build_grouped(frozen, group)
+        assert efn_g.nonbonded.backend == "sweep"
+        for g in (None, {"lambda_sterics": 0.4, "lambda_electrostatics": 0.4}):
+            e_u, f_u = make_force_fn(efn_u)(x32, box, g)
+            e_g, f_g = make_force_fn(efn_g)(x32, box, g)
+            assert abs(float(e_g) - float(e_u)) <= 5e-5 * abs(float(e_u)) + 1e-2, (
+                group, g,
+            )
+            fscale = float(jnp.max(jnp.abs(f_u))) + 1.0
+            assert float(jnp.max(jnp.abs(f_g - f_u))) < 2e-5 * fscale, (group, g)
+        # the lambda-split pieces the NCMC hot loop runs
+        gl = {"lambda_sterics": 0.3, "lambda_electrostatics": 0.6}
+        e0u, f0u = efn_u.lambda_e0_f0(x32, box)
+        e0g, f0g = efn_g.lambda_e0_f0(x32, box)
+        assert abs(float(e0g) - float(e0u)) <= 5e-5 * abs(float(e0u)) + 1e-2, group
+        fscale = float(jnp.max(jnp.abs(f0u))) + 1.0
+        assert float(jnp.max(jnp.abs(f0g - f0u))) < 2e-5 * fscale, group
+        eau, fau = efn_u.lambda_ea_fa(x32, box, gl)
+        eag, fag = efn_g.lambda_ea_fa(x32, box, gl)
+        assert abs(float(eag) - float(eau)) <= 5e-5 * abs(float(eau)) + 1e-2, group
+        fascale = float(jnp.max(jnp.abs(fau))) + 1.0
+        assert float(jnp.max(jnp.abs(fag - fau))) < 2e-5 * fascale, group
+
+
+def test_grouped_sweep_vmap_matches_single(frozen_system):
+    """Replica batching over the grouped layout: vmap prepends a grid
+    dimension; the per-group F_FIRST init flags and padding-tile gates are
+    data-baked, so batched results must match per-replica calls."""
+    frozen, x = frozen_system
+    efn = _build_grouped(frozen, 8)
+    ffn = make_force_fn(efn)
+    box = jnp.asarray(np.asarray(frozen.box), jnp.float32)
+    g = {"lambda_sterics": 0.6, "lambda_electrostatics": 0.6}
+    rng = np.random.default_rng(7)
+    mobile = np.asarray(frozen.masses) > 0
+    R = 3
+    xs = np.repeat(np.asarray(x, np.float32)[None], R, axis=0)
+    xs[:, mobile] += 0.002 * rng.standard_normal((R, int(mobile.sum()), 3)).astype(
+        np.float32
+    )
+    xs = jnp.asarray(xs)
+    ev, fv = jax.vmap(lambda xx: ffn(xx, box, g))(xs)
+    for r in range(R):
+        e1, f1 = ffn(xs[r], box, g)
+        assert float(ev[r]) == pytest.approx(float(e1), rel=1e-6), r
+        assert float(jnp.max(jnp.abs(fv[r] - f1))) < 1e-4, r
+
+
+def test_grouped_layout_unit():
+    """Direct unit check of make_sweep_pair_sum(groups=...): a synthetic
+    pair space where groups genuinely shrink the column storage, pinned
+    against the ungrouped layout (same kernel, different BlockSpecs), with
+    an exclusion whose partner must be force-included by the caller."""
+    from blues_tpu.potentials.pallas.sweep_kernel import (
+        build_row_groups,
+        make_sweep_pair_sum,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 600
+    x0 = rng.uniform(0.0, 3.0, (n, 3))
+    rows = np.arange(0, 32, dtype=np.int64)
+    x0[rows] = rng.uniform(1.2, 1.8, (len(rows), 3))  # mobile cluster
+    cols = np.arange(n, dtype=np.int64)
+    centers = x0[rows].copy()
+    radii = np.full(len(rows), 0.15)
+    per_atom = dict(
+        q_std=rng.uniform(-0.5, 0.5, n),
+        q_alch=np.zeros(n),
+        sigma=np.full(n, 0.3),
+        epsilon=np.full(n, 0.4),
+        alch=np.zeros(n),
+        in_rows=np.isin(np.arange(n), rows).astype(np.float64),
+    )
+    excl = np.zeros((len(rows), n), bool)
+    excl[0, 599] = True  # far-away excluded partner: must be force-included
+    common = dict(
+        n_atoms=n, method="CutoffNonPeriodic", cutoff=0.55, alpha_ewald=0.0,
+        k_rf=0.0, c_rf=0.0, annihilate_sterics=True, periodic=False,
+    )
+    ps_u = make_sweep_pair_sum(
+        row_gid=rows, col_gid=cols, per_atom=per_atom, excl_mask=excl, **common
+    )
+    groups = build_row_groups(
+        rows=rows, centers=centers, radii=radii, cols=cols, ref_positions=x0,
+        box_lengths=None, cutoff=0.55, group_size=8, excl_mask=excl,
+    )
+    assert any(599 in cols[np.asarray(cs)] for _, cs in groups)
+    ps_g = make_sweep_pair_sum(
+        row_gid=rows, col_gid=cols, per_atom=per_atom, excl_mask=excl,
+        groups=groups, **common,
+    )
+    assert ps_g.shape_info["n_groups"] == len(groups)
+    assert ps_g.shape_info["compute_slots"] < ps_u.shape_info["compute_slots"]
+    xj = jnp.asarray(x0, jnp.float32)
+    args = (xj, None, jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0))
+    e_u, f_u = ps_u(*args)
+    e_g, f_g = ps_g(*args)
+    assert float(e_u) == pytest.approx(float(e_g), rel=1e-5)
+    assert float(jnp.max(jnp.abs(f_u - f_g))) < 1e-4 * (
+        float(jnp.max(jnp.abs(f_u))) + 1.0
+    )
