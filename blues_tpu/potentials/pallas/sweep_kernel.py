@@ -185,7 +185,7 @@ def _make_kernel(
 
         @pl.when(is_first)
         def _():
-            out_ref[:, :] = jnp.zeros((8, tr), jnp.float32)
+            out_ref[:, :] = jnp.zeros((tr, 8), jnp.float32)
 
         if col_forces:
             out_refs[1][:, :] = jnp.zeros((8, tc), jnp.float32)
@@ -204,7 +204,7 @@ def _make_kernel(
             dxs = []
             r2 = jnp.zeros((tr, tc), jnp.float32)
             for d in range(3):
-                xi = xr_ref[d, :][:, None]
+                xi = xr_ref[:, d][:, None]
                 xj = xc_ref[d, :][None, :]
                 dx = xi - xj
                 if periodic and not skip_min_image:
@@ -213,22 +213,22 @@ def _make_kernel(
                 dxs.append(dx)
                 r2 = r2 + dx * dx
 
-            gid_i = fr_ref[R_GID, :][:, None]
+            gid_i = fr_ref[:, R_GID][:, None]
             cj = fc_ref[F_CGID, :][None, :]
-            valid = (gid_i != cj) & (fr_ref[R_VALID, :][:, None] > 0) & (cj >= 0)
+            valid = (gid_i != cj) & (fr_ref[:, R_VALID][:, None] > 0) & (cj >= 0)
             if has_excl:
                 valid = valid & (excl_ref[:, :] == 0)
             if use_cutoff:
                 valid = valid & (r2 < cutoff * cutoff)
             r2 = jnp.maximum(r2, 1e-6)
 
-            qs_i = fr_ref[F_QSTD, :][:, None]
+            qs_i = fr_ref[:, F_QSTD][:, None]
             qs_j = fc_ref[F_QSTD, :][None, :]
-            qa_i = fr_ref[F_QALCH, :][:, None]
+            qa_i = fr_ref[:, F_QALCH][:, None]
             qa_j = fc_ref[F_QALCH, :][None, :]
-            sij = 0.5 * (fr_ref[F_SIG, :][:, None] + fc_ref[F_SIG, :][None, :])
-            eij = jnp.sqrt(fr_ref[F_EPS, :][:, None] * fc_ref[F_EPS, :][None, :])
-            ai = fr_ref[F_ALCH, :][:, None]
+            sij = 0.5 * (fr_ref[:, F_SIG][:, None] + fc_ref[F_SIG, :][None, :])
+            eij = jnp.sqrt(fr_ref[:, F_EPS][:, None] * fc_ref[F_EPS, :][None, :])
+            ai = fr_ref[:, F_ALCH][:, None]
             aj = fc_ref[F_ALCH, :][None, :]
             aa = ai * aj
             na = ai + aj - 2.0 * aa
@@ -257,11 +257,11 @@ def _make_kernel(
             e = jnp.where(valid, e, 0.0)
             g = jnp.where(valid, g, 0.0)
             # row-row pairs are visited from both sides -> energy weight 0.5
-            wcol = 1.0 - 0.5 * fr_ref[R_INROWS, :][:, None] * fc_ref[F_INROWS, :][None, :]
+            wcol = 1.0 - 0.5 * fr_ref[:, R_INROWS][:, None] * fc_ref[F_INROWS, :][None, :]
 
             for d in range(3):
-                out_ref[d, :] += -jnp.sum(g * dxs[d], axis=1)
-            out_ref[3, :] += jnp.sum(wcol * e, axis=1)
+                out_ref[:, d] += -jnp.sum(g * dxs[d], axis=1)
+            out_ref[:, 3] += jnp.sum(wcol * e, axis=1)
 
             if col_forces:
                 outc_ref = out_refs[1]
@@ -365,7 +365,11 @@ def make_sweep_pair_sum(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # static feature arrays (transposed (8, N) layout, atoms on lanes).
+    # static feature arrays: columns keep the (8, S) layout (atoms on
+    # lanes); ROW-side arrays are (nr_pad, 8) — rows on SUBLANES — so the
+    # (tr, 8) blocks stay Mosaic-legal for small grouped row tiles (the
+    # lane dimension must be divisible by 128 or equal the full array dim)
+    # and the per-row force/energy reductions store without a transpose.
     # Row slot s -> slot_row[s] (local row index, -1 padding); column
     # storage position p -> occ_col[p] (local col index, -1 padding).
     slot_row = np.full(nr_pad, -1, np.int64)
@@ -387,20 +391,20 @@ def make_sweep_pair_sum(
     oc_live = occ_col >= 0
     sl_r = np.where(sl_live, slot_row, 0)
     oc_c = np.where(oc_live, occ_col, 0)
-    feat_rows = np.zeros((8, nr_pad), np.float32)
+    feat_rows = np.zeros((nr_pad, 8), np.float32)
     feat_cols = np.zeros((8, S), np.float32)
     for k, arr in (
         (F_QSTD, "q_std"), (F_QALCH, "q_alch"), (F_SIG, "sigma"),
         (F_EPS, "epsilon"), (F_ALCH, "alch"), (F_INROWS, "in_rows"),
     ):
         a = np.asarray(per_atom[arr], np.float64)
-        feat_rows[k] = np.where(sl_live, a[rows_np[sl_r]], 0.0)
+        feat_rows[:, k] = np.where(sl_live, a[rows_np[sl_r]], 0.0)
         feat_cols[k] = np.where(oc_live, a[cols_np[oc_c]], 0.0)
-    feat_rows[R_GID] = np.where(sl_live, rows_np[sl_r].astype(np.float64), -1.0)
-    feat_rows[R_INROWS] = np.where(
+    feat_rows[:, R_GID] = np.where(sl_live, rows_np[sl_r].astype(np.float64), -1.0)
+    feat_rows[:, R_INROWS] = np.where(
         sl_live, np.asarray(per_atom["in_rows"], np.float64)[rows_np[sl_r]], 0.0
     )
-    feat_rows[R_VALID] = sl_live.astype(np.float32)
+    feat_rows[:, R_VALID] = sl_live.astype(np.float32)
     feat_cols[F_CGID] = np.where(oc_live, cols_np[oc_c].astype(np.float64), -1.0)
     feat_cols[F_FIRST] = first_flag  # per-group tile-0 init flag (see doc)
 
@@ -475,17 +479,17 @@ def make_sweep_pair_sum(
         excl_imap = lambda i, j: (i, j)  # noqa: E731
     in_specs = [
         pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, tc), col_imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, tc), col_imap, memory_space=pltpu.VMEM),
     ]
     if excl_f32 is not None:
         in_specs.append(
             pl.BlockSpec((tr, tc), excl_imap, memory_space=pltpu.VMEM)
         )
-    out_specs = pl.BlockSpec((8, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((8, nr_pad), jnp.float32)
+    out_specs = pl.BlockSpec((tr, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nr_pad, 8), jnp.float32)
     if col_forces:
         out_specs = (
             out_specs,
@@ -528,7 +532,7 @@ def make_sweep_pair_sum(
         else:
             xc = xf[occ_gid_j] * occ_live_j.T
         xct = jnp.zeros((8, S), jnp.float32).at[0:3, :].set(xc.T)
-        xrt = jnp.zeros((8, nr_pad), jnp.float32).at[0:3, :].set(xf[slot_gid_j].T)
+        xrt = jnp.zeros((nr_pad, 8), jnp.float32).at[:, 0:3].set(xf[slot_gid_j])
         blen = (
             jnp.diagonal(box).astype(jnp.float32)
             if box is not None
@@ -552,7 +556,7 @@ def make_sweep_pair_sum(
         )(*args)
         if col_forces:
             out, outc = out
-        f_rows = out[0:3].T * row_live  # (nr_pad, 3)
+        f_rows = out[:, 0:3] * row_live  # (nr_pad, 3)
         f = (
             jnp.zeros((n_atoms, 3), jnp.float32)
             .at[slot_gid_j]
@@ -561,7 +565,7 @@ def make_sweep_pair_sum(
         if col_forces:
             fc = outc[0:3].T  # (ncpad, 3)
             f = f.at[keep_gid_j].add(fc[keep_sel_j])
-        e = jnp.sum(out[3, :]).astype(x.dtype)
+        e = jnp.sum(out[:, 3]).astype(x.dtype)
         return e, f.astype(x.dtype)
 
     @jax.custom_vjp

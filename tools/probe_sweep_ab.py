@@ -8,7 +8,10 @@ lambda-independent E+F eval, and (c) the eafa alchemical E+F eval — the
 three components of docs/perf_decomposition_r256.json.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_sweep_ab.py \
-           [--replicas 256] [--nsteps 40] [--backends tiled,sweep]
+           [--replicas 256] [--nsteps 40] [--backends tiled,sweep,sweep:g8]
+
+A backend spec "sweep:gN" runs the sweep backend with per-row-group column
+culling (sweep_row_group=N, pallas/sweep_kernel.build_row_groups).
 """
 
 import argparse
@@ -124,14 +127,19 @@ def main():
         return (time.perf_counter() - t0) / (n_outer * n_inner) * 1e3
 
     results = {}
-    for backend in args.backends.split(","):
-        backend = backend.strip()
+    for spec in args.backends.split(","):
+        backend = spec.strip()
+        group = None
+        if ":g" in backend:
+            backend, g_ = backend.split(":g")
+            group = int(g_)
         efn = make_energy_fn(
             fs, nonbonded_method="PME", cutoff=1.0, ewald_tolerance=0.005,
-            nonbonded_backend=backend,
+            nonbonded_backend=backend, sweep_row_group=group,
         )
         ffn = make_force_fn(efn)
         resolved = getattr(efn.nonbonded, "backend", backend)
+        backend = spec.strip()
         log(f"# backend {backend} (resolved {resolved}), "
             f"cull {efn.nonbonded.cull_info}, noimg {efn.nonbonded.no_min_image}")
 
