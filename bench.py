@@ -81,7 +81,7 @@ def build_flagship():
 
 def ncmc_protocol_sps(
     system, x0, backend, n_rep=3, replicas=(64,), minimize_steps=400,
-    dt=0.004, cutoff=1.0,
+    dt=0.004, cutoff=1.0, sweep_row_group=None,
 ):
     """Compile + time the 50-step NCMC switching protocol at the reference
     PRODUCTION shape: dt = 4 fs (callers pass HMR-repartitioned masses),
@@ -100,7 +100,7 @@ def ncmc_protocol_sps(
     lig = system.topology.select_resname("LIG")
     efn = make_energy_fn(
         system, nonbonded_method="PME", cutoff=cutoff, ewald_tolerance=0.005,
-        nonbonded_backend=backend,
+        nonbonded_backend=backend, sweep_row_group=sweep_row_group,
     )
     ffn = make_force_fn(efn)
     cx, cv = make_constraint_fns(system.constraints, system.masses)
@@ -358,8 +358,15 @@ def main():
     log(f"# flagship: {flavor}; mobile atoms {mobile} / {system.n_atoms}")
     log("# protocol: PRODUCTION shape — dt 4 fs (HMR 3.024), PME 10 A, tol 0.005")
 
+    # per-row-group column culling (sweep_row_group=32): Morton groups of 32
+    # mobile rows each pay pair slots only for THEIR reach-ball columns —
+    # 1.62x fewer slots in (32 x 512) tiles big enough to amortize the
+    # per-grid-step overhead that sank G=8. Same-process A/B: 1.52x on the
+    # R=256 protocol (35.7 -> 23.5 ms/step-batch,
+    # docs/sweep_group_ab_r256.json); work medians agree to 0.002 kT.
     single_sps, agg, flops_per_step = ncmc_protocol_sps(
-        frozen_system, x0, backend, replicas=(64, 256, 1024)
+        frozen_system, x0, backend, replicas=(64, 256, 1024),
+        sweep_row_group=32 if backend == "sweep" else None,
     )
     agg64 = agg.get(64, 0.0)
     agg_best_R = max(agg, key=agg.get) if agg else 1

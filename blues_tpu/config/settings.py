@@ -77,7 +77,7 @@ _SIMULATION_KEYS = {
     "nprop", "propLambda", "moveStep", "propSteps", "splitting",
     "alchemical_functions", "pressure", "barostatInterval", "minimize",
     "frozen_cull_skin", "nlist_rebuild_interval", "nonbonded_backend",
-    "max_steps_per_dispatch", "frozen_compact",
+    "max_steps_per_dispatch", "frozen_compact", "sweep_row_group",
 }
 #: reference simulation keys with no analog here (device placement and
 #: context properties are JAX's job)
@@ -431,6 +431,14 @@ def create_simulation(config, move=None, n_replicas: int = 1):
             else None
         ),
         frozen_compact=sim_cfg.get("frozen_compact", "auto"),
+        # per-row-group column culling for the sweep kernel (Morton groups
+        # of N mobile rows, each with its own culled column set): 1.52x on
+        # the production flagship at N=32 (docs/sweep_group_ab_r256.json)
+        sweep_row_group=(
+            int(sim_cfg["sweep_row_group"])
+            if sim_cfg.get("sweep_row_group")
+            else None
+        ),
     )
     sim = BLUESSimulation(system, move, config_obj)
     if positions is not None:

@@ -138,6 +138,19 @@ def test_yaml_driven_run_with_reporters(tmp_path):
     assert rst.velocities is not None
 
 
+def test_sweep_row_group_config_key(tmp_path):
+    """The sweep_row_group TPU knob parses through the YAML schema and
+    lands on SimulationConfig (per-row-group column culling for the sweep
+    kernel, docs/sweep_group_ab_r256.json)."""
+    yaml_text = YAML_TEMPLATE.format(outdir=str(tmp_path), data=DATA).replace(
+        "nprop: 1", "nprop: 1\n  sweep_row_group: 32"
+    )
+    cfg = Settings(yaml_text).asDict()
+    assert cfg["simulation"]["sweep_row_group"] == 32
+    sim, _, _ = create_simulation(yaml_text)
+    assert sim.cfg.sweep_row_group == 32
+
+
 def test_settings_strictness(tmp_path):
     """VERDICT r3 weak #5: unknown or physics-changing-unsupported keys in
     system/simulation must error loudly, never run different physics."""
