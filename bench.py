@@ -479,7 +479,12 @@ def main():
                     "raises per-step cost, so sps are not directly "
                     "comparable to BENCH_r02. r4 switches the frozen "
                     "protocol to the VMEM-accumulator Pallas sweep kernel "
-                    "(same protocol shape as r3, directly comparable)"
+                    "(same protocol shape as r3, directly comparable). "
+                    "r5 adds per-row-group column culling "
+                    "(sweep_row_group=32): 1.52x on the R=256 protocol in "
+                    "same-process A/B (docs/sweep_group_ab_r256.json); "
+                    "absolute sps still vary 2-3x with the TPU tunnel "
+                    "between sessions"
                 ),
             }
         )

@@ -73,6 +73,11 @@ def main():
     from blues_tpu.testsystems import t4_scale_binding_site_box
 
     backend = args.backend or ("pallas" if jax.default_backend() == "tpu" else "tiled")
+    # "sweep:gN" = sweep backend with per-row-group column culling
+    group = None
+    if ":g" in backend:
+        backend, g_ = backend.split(":g")
+        group = int(g_)
     system, x0 = t4_scale_binding_site_box(n_atoms=22340)
     lig = system.topology.select_resname("LIG")
     bond_graph = np.concatenate(
@@ -87,7 +92,7 @@ def main():
 
     efn = make_energy_fn(
         fs, nonbonded_method="PME", cutoff=1.0, ewald_tolerance=0.005,
-        nonbonded_backend=backend,
+        nonbonded_backend=backend, sweep_row_group=group,
     )
     ffn = make_force_fn(efn)
     cx, cv = make_constraint_fns(fs.constraints, fs.masses)
