@@ -1496,6 +1496,14 @@ def _make_pair_backend_energy(
                 # atoms only, columns exclude them): weight 1.0 everywhere
                 in_rows=np.zeros(n),
             )
+            # one wide column tile: at (16, 512) blocks the EA sweep is 15
+            # grid steps whose per-step fixed cost dominates its tiny pair
+            # space (measured ~2.9 G pair-slots/s vs the ~17 G envelope of
+            # the big sweeps, docs/perf_decomposition_g32_r256.json).
+            # Putting the whole column space in a single grid step costs
+            # ~224 B VMEM per column (~1.7 MB at the 7.4k-column flagship),
+            # capped at 16384 columns/tile for VMEM safety.
+            ea_tc = min(-(-max(len(cols_na), 1) // 128) * 128, 16384)
             ea_sweep = _mks_ea(
                 row_gid=alch_atoms_np,
                 col_gid=cols_na,
@@ -1508,6 +1516,7 @@ def _make_pair_backend_energy(
                 col_forces=True,
                 col_force_keep=mob_sel_cols,
                 skip_min_image=noimg is not None,
+                col_tile=ea_tc,
                 **common,
             )
 
