@@ -361,9 +361,10 @@ def main():
     # per-row-group column culling (sweep_row_group=32): Morton groups of 32
     # mobile rows each pay pair slots only for THEIR reach-ball columns —
     # 1.62x fewer slots in (32 x 512) tiles big enough to amortize the
-    # per-grid-step overhead that sank G=8. Same-process A/B: 1.52x on the
-    # R=256 protocol (35.7 -> 23.5 ms/step-batch,
-    # docs/sweep_group_ab_r256.json); work medians agree to 0.002 kT.
+    # per-grid-step overhead that sank G=8. Same-process A/B: wins every
+    # comparison, 1.23-1.52x on the R=256 protocol with the grouped row
+    # stable at ~23 ms/step-batch (docs/sweep_group_ab_r256.json); work
+    # medians agree to 0.002 kT.
     single_sps, agg, flops_per_step = ncmc_protocol_sps(
         frozen_system, x0, backend, replicas=(64, 256, 1024),
         sweep_row_group=32 if backend == "sweep" else None,
@@ -481,7 +482,7 @@ def main():
                     "protocol to the VMEM-accumulator Pallas sweep kernel "
                     "(same protocol shape as r3, directly comparable). "
                     "r5 adds per-row-group column culling "
-                    "(sweep_row_group=32): 1.52x on the R=256 protocol in "
+                    "(sweep_row_group=32): 1.23-1.52x on the R=256 protocol in "
                     "same-process A/B (docs/sweep_group_ab_r256.json); "
                     "absolute sps still vary 2-3x with the TPU tunnel "
                     "between sessions"

@@ -432,7 +432,7 @@ def create_simulation(config, move=None, n_replicas: int = 1):
         ),
         frozen_compact=sim_cfg.get("frozen_compact", "auto"),
         # per-row-group column culling for the sweep kernel (Morton groups
-        # of N mobile rows, each with its own culled column set): 1.52x on
+        # of N mobile rows, each with its own culled column set): >=1.2x on
         # the production flagship at N=32 (docs/sweep_group_ab_r256.json)
         sweep_row_group=(
             int(sim_cfg["sweep_row_group"])
